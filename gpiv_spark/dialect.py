@@ -1,0 +1,107 @@
+"""Dual-dialect SQL expression builder.
+
+Every SQL-expressible operator in this engine is defined ONCE as a
+Python function that renders an expression string for either dialect:
+
+- ``SPARK``  -> used via ``F.expr(...)`` so the expression runs JVM-side
+  inside whole-stage codegen (no Python in the hot path);
+- ``DUCKDB`` -> used verbatim in ``__spark_entry__.oracle_sql()``.
+
+This makes engine/oracle parity *structural*: the same template cannot
+disagree with itself. Only spelling differences between the dialects
+live here (shift operators, integer division, list functions).
+"""
+
+from __future__ import annotations
+
+
+class Dialect:
+    name: str
+
+    # --- bit ops -------------------------------------------------------
+    def shl(self, x: str, n: int) -> str:
+        raise NotImplementedError
+
+    def shr(self, x: str, n: int) -> str:
+        raise NotImplementedError
+
+    def band(self, x: str, y: str) -> str:
+        return f"({x} & {y})"
+
+    def bor(self, x: str, y: str) -> str:
+        return f"({x} | {y})"
+
+    def bxor(self, x: str, y: str) -> str:
+        raise NotImplementedError
+
+    # --- arithmetic ----------------------------------------------------
+    def idiv(self, x: str, y: str) -> str:
+        """Integer (floor-toward-zero) division of non-negative ints."""
+        raise NotImplementedError
+
+    def imod(self, x: str, y: str) -> str:
+        return f"({x} % {y})"
+
+    def dbl(self, x: str) -> str:
+        """Cast to float64."""
+        return f"CAST({x} AS DOUBLE)"
+
+    def big(self, x: str) -> str:
+        """Cast to int64."""
+        return f"CAST({x} AS BIGINT)"
+
+    # --- strings / lists ------------------------------------------------
+    def split_ws(self, x: str) -> str:
+        """Split on single spaces (testdata tokens are space-joined)."""
+        raise NotImplementedError
+
+    def ntokens(self, x: str) -> str:
+        raise NotImplementedError
+
+
+class SparkDialect(Dialect):
+    name = "spark"
+
+    def shl(self, x, n):
+        return f"shiftleft({x}, {n})"
+
+    def shr(self, x, n):
+        return f"shiftright({x}, {n})"
+
+    def bxor(self, x, y):
+        return f"({x} ^ {y})"
+
+    def idiv(self, x, y):
+        return f"({x} div {y})"
+
+    def split_ws(self, x):
+        return f"split({x}, ' ')"
+
+    def ntokens(self, x):
+        return f"size(split({x}, ' '))"
+
+
+class DuckDialect(Dialect):
+    name = "duckdb"
+
+    def shl(self, x, n):
+        return f"({x} << {n})"
+
+    def shr(self, x, n):
+        return f"({x} >> {n})"
+
+    def bxor(self, x, y):
+        return f"xor({x}, {y})"
+
+    def idiv(self, x, y):
+        return f"({x} // {y})"
+
+    def split_ws(self, x):
+        return f"string_split({x}, ' ')"
+
+    def ntokens(self, x):
+        return f"len(string_split({x}, ' '))"
+
+
+SPARK = SparkDialect()
+DUCKDB = DuckDialect()
