@@ -58,6 +58,37 @@ def px_row_expr(d: Dialect, y: str) -> str:
     return d.big(f"floor(({Y1!r} - {y}) / {PIXEL!r})")
 
 
+def xq_expr(d: Dialect, doc_id: str) -> str:
+    """Quadratic-scramble x: like x_expr but mixing doc_id^2 — breaks the
+    collinearity of consecutive ids that a pure LCG walk produces (needed
+    wherever 3 consecutive docs must form a non-degenerate triangle)."""
+    r = d.imod(d.big(doc_id), M1)
+    w = d.imod(f"({r} * {r})", M1)
+    u = d.imod(f"({w} * {A1} + {B1})", M1)
+    return f"({X0!r} + {d.dbl(u)} / {float(M1)!r} * {EXTENT!r})"
+
+
+def yq_expr(d: Dialect, doc_id: str) -> str:
+    s = d.imod(d.big(doc_id), M2)
+    w = d.imod(f"({s} * {s})", M2)
+    v = d.imod(f"({w} * {A2} + {B2})", M2)
+    return f"({Y0!r} + {d.dbl(v)} / {float(M2)!r} * {EXTENT!r})"
+
+
+def numpy_geocode_q(doc_id):
+    """NumPy twin of xq_expr/yq_expr."""
+    import numpy as np
+
+    did = np.asarray(doc_id, dtype=np.int64)
+    r = did % M1
+    u = ((r * r % M1) * A1 + B1) % M1
+    s = did % M2
+    v = ((s * s % M2) * A2 + B2) % M2
+    x = X0 + u.astype(np.float64) / float(M1) * EXTENT
+    y = Y0 + v.astype(np.float64) / float(M2) * EXTENT
+    return x, y
+
+
 def numpy_geocode(doc_id):
     """NumPy twin of x_expr/y_expr for kernel-side use and tests."""
     import numpy as np
