@@ -594,3 +594,7 @@ _BIAS_SQL = """
 @register("bias_variance", _BIAS_SQL)
 def q_bias_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_both(spark, sf_dir, _BIAS_SQL)
+
+
+# Register the training-data pipeline queries (batch 3).
+from gpiv_spark import queries_text as _queries_text  # noqa: E402,F401
