@@ -58,6 +58,10 @@ class Dialect:
     def ntokens(self, x: str) -> str:
         raise NotImplementedError
 
+    def range_sql(self, n: int, alias: str, col: str = "i") -> str:
+        """Derived table of integers 0..n-1 named alias(col)."""
+        raise NotImplementedError
+
 
 class SparkDialect(Dialect):
     name = "spark"
@@ -80,6 +84,9 @@ class SparkDialect(Dialect):
     def ntokens(self, x):
         return f"size(split({x}, ' '))"
 
+    def range_sql(self, n, alias, col="i"):
+        return f"(SELECT CAST(id AS BIGINT) AS {col} FROM range({n})) {alias}"
+
 
 class DuckDialect(Dialect):
     name = "duckdb"
@@ -101,6 +108,9 @@ class DuckDialect(Dialect):
 
     def ntokens(self, x):
         return f"len(string_split({x}, ' '))"
+
+    def range_sql(self, n, alias, col="i"):
+        return f"(SELECT CAST(range AS BIGINT) AS {col} FROM range({n})) {alias}"
 
 
 SPARK = SparkDialect()

@@ -1,0 +1,169 @@
+"""From-scratch 2-D Delaunay triangulation + containment query (NumPy).
+
+Replaces scipy.spatial.Delaunay (unavailable here; and the engine's
+J1 operator runs it per spatial cell inside applyInPandas, so a
+self-contained NumPy implementation is required anyway — see
+SURVEY.md §7.3 "Distributed Delaunay").
+
+Bowyer-Watson incremental insertion with vectorized in-circumcircle
+tests (one NumPy mask per insertion, no per-triangle Python loop on
+the hot test). O(n * m) worst-case with m = live triangles; fine for
+the per-cell point counts the tiling produces (10^2..10^4).
+
+``find_simplex`` mirrors scipy's semantics used by the reference
+(tin_interpolation.py:76-83): returns -1 for points outside the hull.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def delaunay(points: np.ndarray) -> np.ndarray:
+    """Triangulate (n,2) points -> (m,3) int32 vertex-index triples (CCW)."""
+    pts = np.asarray(points, dtype=np.float64)
+    n = len(pts)
+    if n < 3:
+        return np.empty((0, 3), dtype=np.int32)
+
+    # Super-triangle comfortably containing everything.
+    cx, cy = pts.mean(axis=0)
+    span = max(np.ptp(pts[:, 0]), np.ptp(pts[:, 1]), 1.0) * 64.0
+    sup = np.array(
+        [[cx - span, cy - span * 0.5], [cx + span, cy - span * 0.5], [cx, cy + span]]
+    )
+    allp = np.vstack([pts, sup])
+
+    # Triangle store as growing arrays; circumcenters + squared radii cached.
+    tri = np.array([[n, n + 1, n + 2]], dtype=np.int64)
+    cc, rr = _circumcircles(allp, tri)
+
+    # Insert in a shuffled-but-deterministic order (plain sequential order
+    # on LCG-walk fixtures degrades to worst case).
+    order = np.argsort((np.arange(n, dtype=np.int64) * 2654435761) % 4294967296)
+
+    for i in order:
+        p = pts[i]
+        d2 = (cc[:, 0] - p[0]) ** 2 + (cc[:, 1] - p[1]) ** 2
+        bad = d2 < rr
+        if not bad.any():
+            # numeric degeneracy: fall back to nearest-circumcircle triangle
+            bad = d2 - rr < 1e-9 * rr
+            if not bad.any():
+                continue
+        bad_tris = tri[bad]
+        # Boundary polygon: edges used exactly once among bad triangles.
+        edges = np.concatenate(
+            [bad_tris[:, [0, 1]], bad_tris[:, [1, 2]], bad_tris[:, [2, 0]]]
+        )
+        ekey = np.sort(edges, axis=1)
+        _, first_idx, counts = np.unique(
+            ekey, axis=0, return_index=True, return_counts=True
+        )
+        boundary = edges[first_idx[counts == 1]]
+        new = np.column_stack(
+            [boundary, np.full(len(boundary), i, dtype=np.int64)]
+        )
+        keep = ~bad
+        tri = np.vstack([tri[keep], new])
+        ncc, nrr = _circumcircles(allp, new)
+        cc = np.vstack([cc[keep], ncc])
+        rr = np.concatenate([rr[keep], nrr])
+
+    real = (tri < n).all(axis=1)
+    out = tri[real]
+    # Canonicalize to CCW winding.
+    a, b, c = allp[out[:, 0]], allp[out[:, 1]], allp[out[:, 2]]
+    cwmask = _cross(a, b, c) < 0
+    out[cwmask, 1], out[cwmask, 2] = out[cwmask, 2].copy(), out[cwmask, 1].copy()
+    return out.astype(np.int32)
+
+
+def _cross(a, b, c):
+    return (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (b[:, 1] - a[:, 1]) * (
+        c[:, 0] - a[:, 0]
+    )
+
+
+def _circumcircles(pts: np.ndarray, tri: np.ndarray):
+    a, b, c = pts[tri[:, 0]], pts[tri[:, 1]], pts[tri[:, 2]]
+    d = 2.0 * _cross(a, b, c)
+    d = np.where(np.abs(d) < 1e-300, 1e-300, d)
+    a2 = (a * a).sum(1)
+    b2 = (b * b).sum(1)
+    c2 = (c * c).sum(1)
+    ux = (a2 * (b[:, 1] - c[:, 1]) + b2 * (c[:, 1] - a[:, 1]) + c2 * (a[:, 1] - b[:, 1])) / d
+    uy = (a2 * (c[:, 0] - b[:, 0]) + b2 * (a[:, 0] - c[:, 0]) + c2 * (b[:, 0] - a[:, 0])) / d
+    cc = np.column_stack([ux, uy])
+    rr = ((a[:, 0] - ux) ** 2 + (a[:, 1] - uy) ** 2)
+    return cc, rr
+
+
+def find_simplex(points: np.ndarray, tri: np.ndarray,
+                 queries: np.ndarray, n_grid: int = 64) -> np.ndarray:
+    """Index of the triangle containing each query point; -1 if none.
+
+    Uniform-grid bucketing of triangle bboxes, then a vectorized
+    barycentric-sign test per bucket — no all-pairs blowup.
+    """
+    q = np.asarray(queries, dtype=np.float64)
+    out = np.full(len(q), -1, dtype=np.int64)
+    if len(tri) == 0 or len(q) == 0:
+        return out
+    a, b, c = points[tri[:, 0]], points[tri[:, 1]], points[tri[:, 2]]
+    lox = np.minimum(np.minimum(a[:, 0], b[:, 0]), c[:, 0])
+    hix = np.maximum(np.maximum(a[:, 0], b[:, 0]), c[:, 0])
+    loy = np.minimum(np.minimum(a[:, 1], b[:, 1]), c[:, 1])
+    hiy = np.maximum(np.maximum(a[:, 1], b[:, 1]), c[:, 1])
+    gx0, gx1 = lox.min(), hix.max()
+    gy0, gy1 = loy.min(), hiy.max()
+    sx = (gx1 - gx0) / n_grid or 1.0
+    sy = (gy1 - gy0) / n_grid or 1.0
+
+    def cell_of(x, y):
+        return (
+            np.clip(((x - gx0) / sx).astype(np.int64), 0, n_grid - 1),
+            np.clip(((y - gy0) / sy).astype(np.int64), 0, n_grid - 1),
+        )
+
+    # bucket -> triangle ids (triangles span multiple buckets)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    tlo = cell_of(lox, loy)
+    thi = cell_of(hix, hiy)
+    for t in range(len(tri)):
+        for bx in range(tlo[0][t], thi[0][t] + 1):
+            for by in range(tlo[1][t], thi[1][t] + 1):
+                buckets.setdefault((bx, by), []).append(t)
+
+    qb = cell_of(q[:, 0], q[:, 1])
+    from collections import defaultdict
+
+    by_bucket: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for qi in range(len(q)):
+        by_bucket[(qb[0][qi], qb[1][qi])].append(qi)
+
+    for key, qids in by_bucket.items():
+        tids = buckets.get(key)
+        if not tids:
+            continue
+        tids = np.asarray(tids)
+        qs = q[qids]  # (nq, 2)
+        ta, tb, tc = a[tids], b[tids], c[tids]  # (nt, 2)
+        px = qs[:, 0][:, None]
+        py = qs[:, 1][:, None]
+        d1 = (px - tb[None, :, 0]) * (ta[None, :, 1] - tb[None, :, 1]) - (
+            ta[None, :, 0] - tb[None, :, 0]
+        ) * (py - tb[None, :, 1])
+        d2 = (px - tc[None, :, 0]) * (tb[None, :, 1] - tc[None, :, 1]) - (
+            tb[None, :, 0] - tc[None, :, 0]
+        ) * (py - tc[None, :, 1])
+        d3 = (px - ta[None, :, 0]) * (tc[None, :, 1] - ta[None, :, 1]) - (
+            tc[None, :, 0] - ta[None, :, 0]
+        ) * (py - ta[None, :, 1])
+        eps = 1e-12
+        inside = (d1 >= -eps) & (d2 >= -eps) & (d3 >= -eps)
+        hit = inside.any(axis=1)
+        first = inside.argmax(axis=1)
+        res = np.where(hit, tids[first], -1)
+        out[np.asarray(qids)] = res
+    return out

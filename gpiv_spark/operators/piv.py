@@ -1,0 +1,267 @@
+"""Distributed PIV pipeline (SURVEY §2 G2/J4/A1/A3/F1-F3/P6/P7/E1/E2).
+
+Spark-first physical plan for GPIV's run_piv loop (piv_functions.py:89-187):
+
+1. **Patch packing** — long-form raster rows (row, col, value) are
+   packed into dense step x step patches, one Arrow row per patch
+   (binary payload). This is the unit of shuffle: 2500 float64 per
+   row instead of 1, so the tile fan-out below shuffles ~2500x fewer
+   rows than a per-pixel explode.
+2. **Tile fan-out** — each PIV tile's search window covers a fixed
+   (search/step + 1)^2 patch neighborhood; a small broadcast mapping
+   (tile <- patches) joins each patch to the tiles that need it
+   (deliberate, bounded duplication — SURVEY §4.2 tile-with-halo).
+3. **Per-tile kernel** — groupBy(tile).applyInPandas assembles the
+   dense windows and runs the batched NumPy kernel: FFT NCC (A1),
+   argmax (A3), flat/NaN/edge guards (F1-F3), sub-pixel peak (P6),
+   vector assembly (P7), and optionally E1/E2 covariance propagation
+   with the ANALYTIC NCC Jacobian (numeric-diff stays in the test
+   oracle only).
+4. Ground export (P4) and the bias two-pass (A4/A5) are column
+   arithmetic / aggregates on the result DataFrame.
+
+At cluster scale: patches hash-shuffle on (tile_r, tile_c) — uniform
+by construction (it's a regular grid), so no skew; AQE coalesces the
+tail. The mapping table is O(#tiles), broadcast. No Python touches
+anything bigger than one tile's windows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpiv_spark.functions import ncc as ncck
+from gpiv_spark.operators.tiling import PivConfig
+
+PATCH_SCHEMA = (
+    "dataset string, patch_r int, patch_c int, r0 int, c0 int, "
+    "h int, w int, data binary"
+)
+
+PIV_SCHEMA = (
+    "tile_r int, tile_c int, origin_x_px double, origin_y_px double, "
+    "dx_px double, dy_px double, peak_ncc double, "
+    "c00 double, c01 double, c10 double, c11 double"
+)
+
+
+def pack_patches(df: DataFrame, cfg: PivConfig) -> DataFrame:
+    """(dataset, row, col, value) -> one dense patch row per step-cell."""
+    step = cfg.step
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        ds = pdf["dataset"].iloc[0]
+        pr = int(pdf["patch_r"].iloc[0])
+        pc = int(pdf["patch_c"].iloc[0])
+        r0, c0 = pr * step, pc * step
+        h = int(pdf["row"].max()) - r0 + 1
+        w = int(pdf["col"].max()) - c0 + 1
+        arr = np.full((h, w), np.nan)
+        arr[pdf["row"].to_numpy() - r0, pdf["col"].to_numpy() - c0] = pdf[
+            "value"
+        ].to_numpy()
+        return pd.DataFrame(
+            [
+                {
+                    "dataset": ds,
+                    "patch_r": pr,
+                    "patch_c": pc,
+                    "r0": r0,
+                    "c0": c0,
+                    "h": h,
+                    "w": w,
+                    "data": arr.tobytes(),
+                }
+            ]
+        )
+
+    return (
+        df.withColumn("patch_r", (F.col("row") / step).cast("int"))
+        .withColumn("patch_c", (F.col("col") / step).cast("int"))
+        .groupBy("dataset", "patch_r", "patch_c")
+        .applyInPandas(_pack, PATCH_SCHEMA)
+    )
+
+
+def tile_patch_map(spark: SparkSession, cfg: PivConfig) -> DataFrame:
+    """Broadcastable (tile_r, tile_c, patch_r, patch_c) membership table."""
+    span = (cfg.search + cfg.search_pad - 1) // cfg.step + 1
+    rows = [
+        (tr, tc, tr + dr, tc + dc)
+        for tr in range(cfg.count)
+        for tc in range(cfg.count)
+        for dr in range(span)
+        for dc in range(span)
+    ]
+    return spark.createDataFrame(
+        rows, "tile_r int, tile_c int, patch_r int, patch_c int"
+    )
+
+
+def run_piv(
+    spark: SparkSession,
+    before: DataFrame,
+    after: DataFrame,
+    cfg: PivConfig,
+    propagate: bool = False,
+    before_unc: DataFrame | None = None,
+    after_unc: DataFrame | None = None,
+) -> DataFrame:
+    """Full PIV: returns one row per surviving tile (pixel units).
+
+    Inputs are long-form rasters (row int, col int, value double).
+    """
+    parts = [before.withColumn("dataset", F.lit("bh")),
+             after.withColumn("dataset", F.lit("ah"))]
+    if propagate:
+        if before_unc is None or after_unc is None:
+            raise ValueError("propagate=True requires uncertainty rasters")
+        parts.append(before_unc.withColumn("dataset", F.lit("bu")))
+        parts.append(after_unc.withColumn("dataset", F.lit("au")))
+    allpx = parts[0]
+    for p in parts[1:]:
+        allpx = allpx.unionByName(p)
+
+    patches = pack_patches(allpx.select("dataset", "row", "col", "value"), cfg)
+    mapping = tile_patch_map(spark, cfg)
+    fanned = patches.join(
+        F.broadcast(mapping), ["patch_r", "patch_c"]
+    )
+
+    cfg_d = dict(template=cfg.template, step=cfg.step, scale=cfg.scale,
+                 dim=cfg.dim, prop=propagate)
+
+    def _tile_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _piv_tile(key, pdf, cfg_d)
+
+    return (
+        fanned.groupBy("tile_r", "tile_c")
+        .applyInPandas(_tile_kernel, PIV_SCHEMA)
+    )
+
+
+def _assemble(pdf: pd.DataFrame, ds: str, r_lo: int, c_lo: int,
+              size_r: int, size_c: int) -> np.ndarray | None:
+    """Rebuild the dense window [r_lo, r_lo+size_r) x [c_lo, ...) from patches."""
+    out = np.full((size_r, size_c), np.nan)
+    sub = pdf[pdf["dataset"] == ds]
+    if sub.empty:
+        return None
+    for _, row in sub.iterrows():
+        arr = np.frombuffer(row["data"], dtype=np.float64).reshape(
+            row["h"], row["w"]
+        )
+        rr, cc = int(row["r0"]) - r_lo, int(row["c0"]) - c_lo
+        rs, cs = max(0, -rr), max(0, -cc)
+        re = min(row["h"], size_r - rr)
+        ce = min(row["w"], size_c - cc)
+        if re <= rs or ce <= cs:
+            continue
+        out[rr + rs : rr + re, cc + cs : cc + ce] = arr[rs:re, cs:ce]
+    return out
+
+
+def _piv_tile(key, pdf: pd.DataFrame, cfg: dict) -> pd.DataFrame:
+    """Per-tile kernel: the reference's inner loop, one batched call."""
+    tr, tc = int(key[0]), int(key[1])
+    T = cfg["template"]
+    step = cfg["step"]
+    search = T * cfg["scale"]
+    pad = search % 2
+    ssize_r = min(search + pad, cfg["dim"] - tr * step)
+    ssize_c = min(search + pad, cfg["dim"] - tc * step)
+    off = (cfg["scale"] - 1) * T // 2
+    empty = pd.DataFrame(
+        columns=[
+            "tile_r", "tile_c", "origin_x_px", "origin_y_px", "dx_px",
+            "dy_px", "peak_ncc", "c00", "c01", "c10", "c11",
+        ]
+    )
+
+    r_lo, c_lo = tr * step, tc * step
+    bh = _assemble(pdf, "bh", r_lo, c_lo, ssize_r, ssize_c)
+    ah = _assemble(pdf, "ah", r_lo, c_lo, ssize_r, ssize_c)
+    if bh is None or ah is None:
+        return empty
+    template = bh[off : off + T, off : off + T]
+
+    # F1 flat guard + F2 NaN guard (piv_functions.py:130-136)
+    if (
+        np.isnan(template).any()
+        or np.isnan(ah).any()
+        or np.nanmax(template) - np.nanmin(template) < ncck.EPS_FLAT
+        or np.nanmax(ah) - np.nanmin(ah) < ncck.EPS_FLAT
+    ):
+        return empty
+
+    surf = ncck.ncc_surface(ah, template)
+    rmax, cmax = np.unravel_index(int(np.argmax(surf)), surf.shape)
+
+    # F3 edge guard (piv_functions.py:141-146)
+    if rmax == 0 or cmax == 0 or rmax == surf.shape[0] - 1 or cmax == surf.shape[1] - 1:
+        return empty
+
+    patch33 = surf[rmax - 1 : rmax + 2, cmax - 1 : cmax + 2]
+    hz_d, vt_d = ncck.subpixel_peak(patch33)
+
+    half = int(np.floor(search / 2))
+    sub = (1 - search % 2) * 0.5
+    origin_x = tc * step + half - sub
+    origin_y = tr * step + half - sub
+    dx = cmax - int(np.ceil(T / 2)) + hz_d
+    dy = rmax - int(np.ceil(T / 2)) + vt_d
+
+    c00 = c01 = c10 = c11 = float("nan")
+    if cfg["prop"]:
+        bu = _assemble(pdf, "bu", r_lo, c_lo, ssize_r, ssize_c)
+        au = _assemble(pdf, "au", r_lo, c_lo, ssize_r, ssize_c)
+        if bu is not None and au is not None:
+            unc_t = bu[off : off + T, off : off + T]
+            s_sub = ah[rmax - 1 : rmax + T + 1, cmax - 1 : cmax + T + 1]
+            u_sub = au[rmax - 1 : rmax + T + 1, cmax - 1 : cmax + T + 1]
+            jac = ncck.analytic_correlation_jacobian(template, s_sub)
+            corr_cov = ncck.propagate_pixel_into_correlation(jac, unc_t, u_sub)
+            peak_cov = ncck.propagate_correlation_into_subpixel_peak(
+                patch33, corr_cov, (hz_d, vt_d)
+            )
+            c00, c01 = float(peak_cov[0, 0]), float(peak_cov[0, 1])
+            c10, c11 = float(peak_cov[1, 0]), float(peak_cov[1, 1])
+
+    return pd.DataFrame(
+        [
+            {
+                "tile_r": tr,
+                "tile_c": tc,
+                "origin_x_px": float(origin_x),
+                "origin_y_px": float(origin_y),
+                "dx_px": float(dx),
+                "dy_px": float(dy),
+                "peak_ncc": float(surf[rmax, cmax]),
+                "c00": c00,
+                "c01": c01,
+                "c10": c10,
+                "c11": c11,
+            }
+        ]
+    )
+
+
+def bias_variance(self_piv: DataFrame) -> DataFrame:
+    """A4: var_pop of the self-correlation vectors (piv_functions.py:378-386)."""
+    return self_piv.agg(
+        F.var_pop("dx_px").alias("x_bias_variance"),
+        F.var_pop("dy_px").alias("y_bias_variance"),
+    )
+
+
+def add_bias_variance(piv: DataFrame, bias: DataFrame) -> DataFrame:
+    """A5: add bias variances to the covariance diagonal (piv_functions.py:389-396)."""
+    return piv.crossJoin(F.broadcast(bias)).withColumns(
+        {
+            "c00": F.col("c00") + F.col("x_bias_variance"),
+            "c11": F.col("c11") + F.col("y_bias_variance"),
+        }
+    ).drop("x_bias_variance", "y_bias_variance")
