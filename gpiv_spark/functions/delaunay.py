@@ -34,44 +34,75 @@ def delaunay(points: np.ndarray) -> np.ndarray:
     )
     allp = np.vstack([pts, sup])
 
-    # Triangle store as growing arrays; circumcenters + squared radii cached.
-    tri = np.array([[n, n + 1, n + 2]], dtype=np.int64)
-    cc, rr = _circumcircles(allp, tri)
+    # Preallocated triangle store (capacity-doubling, free-slot reuse):
+    # per-insertion cost is ONE vectorized circumcircle test over the
+    # live range plus O(|cavity|) Python bookkeeping — no reallocation
+    # churn (a naive vstack-per-insertion version was memory-bandwidth
+    # bound and did not scale across executor cores).
+    cap = max(4 * n + 16, 64)
+    tri = np.empty((cap, 3), dtype=np.int64)
+    ccx = np.empty(cap)
+    ccy = np.empty(cap)
+    rr = np.empty(cap)
+    alive = np.zeros(cap, dtype=bool)
+    tri[0] = (n, n + 1, n + 2)
+    c0, r0 = _circumcircles(allp, tri[0:1])
+    ccx[0], ccy[0] = c0[0, 0], c0[0, 1]
+    rr[0] = r0[0]
+    alive[0] = True
+    hi = 1  # exclusive upper bound of used slots
+    free: list[int] = []
 
     # Insert in a shuffled-but-deterministic order (plain sequential order
     # on LCG-walk fixtures degrades to worst case).
     order = np.argsort((np.arange(n, dtype=np.int64) * 2654435761) % 4294967296)
 
     for i in order:
-        p = pts[i]
-        d2 = (cc[:, 0] - p[0]) ** 2 + (cc[:, 1] - p[1]) ** 2
-        bad = d2 < rr
-        if not bad.any():
-            # numeric degeneracy: fall back to nearest-circumcircle triangle
-            bad = d2 - rr < 1e-9 * rr
-            if not bad.any():
-                continue
-        bad_tris = tri[bad]
+        px, py = pts[i, 0], pts[i, 1]
+        d2 = (ccx[:hi] - px) ** 2 + (ccy[:hi] - py) ** 2
+        bad = (d2 < rr[:hi]) & alive[:hi]
+        bad_idx = np.nonzero(bad)[0]
+        if len(bad_idx) == 0:
+            continue  # on/outside all circumcircles (degenerate duplicate)
         # Boundary polygon: edges used exactly once among bad triangles.
-        edges = np.concatenate(
-            [bad_tris[:, [0, 1]], bad_tris[:, [1, 2]], bad_tris[:, [2, 0]]]
-        )
-        ekey = np.sort(edges, axis=1)
-        _, first_idx, counts = np.unique(
-            ekey, axis=0, return_index=True, return_counts=True
-        )
-        boundary = edges[first_idx[counts == 1]]
-        new = np.column_stack(
-            [boundary, np.full(len(boundary), i, dtype=np.int64)]
-        )
-        keep = ~bad
-        tri = np.vstack([tri[keep], new])
-        ncc, nrr = _circumcircles(allp, new)
-        cc = np.vstack([cc[keep], ncc])
-        rr = np.concatenate([rr[keep], nrr])
+        ecount: dict[tuple[int, int], tuple[int, int]] = {}
+        for bi in bad_idx:
+            a, b, c = tri[bi]
+            for e0, e1 in ((a, b), (b, c), (c, a)):
+                key = (e0, e1) if e0 < e1 else (e1, e0)
+                if key in ecount:
+                    ecount[key] = None
+                else:
+                    ecount[key] = (e0, e1)
+            alive[bi] = False
+            free.append(bi)
+        slots = []
+        for ori in ecount.values():
+            if ori is None:
+                continue
+            slot = free.pop() if free else hi
+            if slot == hi:
+                hi += 1
+                if hi > cap:  # grow (rare)
+                    cap *= 2
+                    tri = np.resize(tri, (cap, 3))
+                    ccx = np.resize(ccx, cap)
+                    ccy = np.resize(ccy, cap)
+                    rr = np.resize(rr, cap)
+                    alive = np.resize(alive, cap)
+                    alive[hi:] = False
+            tri[slot] = (ori[0], ori[1], i)
+            slots.append(slot)
+        sl = np.asarray(slots)
+        c1, r1 = _circumcircles(allp, tri[sl])
+        ccx[sl] = c1[:, 0]
+        ccy[sl] = c1[:, 1]
+        rr[sl] = r1
+        alive[sl] = True
 
-    real = (tri < n).all(axis=1)
-    out = tri[real]
+    live = tri[: hi][alive[:hi]]
+    real = (live < n).all(axis=1)
+    out = live[real]
     # Canonicalize to CCW winding.
     a, b, c = allp[out[:, 0]], allp[out[:, 1]], allp[out[:, 2]]
     cwmask = _cross(a, b, c) < 0

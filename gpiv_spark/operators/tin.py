@@ -40,6 +40,49 @@ TIN_SCHEMA = (
 TPU_COLS = ["var_x", "var_y", "var_z", "cov_xy", "cov_xz", "cov_yz"]
 
 
+def fan_out_points(spark: SparkSession, points: DataFrame, cell_res: int,
+                   halo_m: float | None = None) -> DataFrame:
+    """Replicate each point into its Z-order cell + the neighbor cells
+    within ``halo_m`` metres (None = the full 8-neighbor ring).
+
+    The halo makes per-cell Delaunay agree with the global one wherever
+    boundary-triangle circumcircles fit inside it (SURVEY §7.3). A
+    margin of a few mean point spacings keeps the fan-out factor near
+    1 + 4*halo/cell instead of the naive 9x (which made the build
+    memory-bound rather than compute-bound).
+    """
+    n = 1 << cell_res
+    csize = _EXT / n
+    if halo_m is None:
+        halo_m = csize  # degenerate: full neighbor ring
+    neigh = spark.createDataFrame(
+        [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)], "dr int, dc int"
+    )
+    # offset of the point inside its home cell, in metres
+    fx = f"((x - {_X0!r}) - _ix * {csize!r})"
+    fy = f"((y - {_Y0!r}) - _iy * {csize!r})"
+    keep = (
+        f"(dc = 0 OR (dc = -1 AND {fx} < {halo_m!r})"
+        f" OR (dc = 1 AND {csize!r} - {fx} < {halo_m!r}))"
+        f" AND (dr = 0 OR (dr = -1 AND {fy} < {halo_m!r})"
+        f" OR (dr = 1 AND {csize!r} - {fy} < {halo_m!r}))"
+    )
+    return (
+        points.withColumn("_ix", F.expr(
+            f"greatest(0, least({n - 1}, CAST(floor((x - {_X0!r}) / {_EXT!r} * {n}) AS BIGINT)))"))
+        .withColumn("_iy", F.expr(
+            f"greatest(0, least({n - 1}, CAST(floor((y - {_Y0!r}) / {_EXT!r} * {n}) AS BIGINT)))"))
+        .crossJoin(F.broadcast(neigh))
+        .filter(F.expr(keep))
+        .withColumn("_jx", F.col("_ix") + F.col("dc"))
+        .withColumn("_jy", F.col("_iy") + F.col("dr"))
+        .filter((F.col("_jx") >= 0) & (F.col("_jx") < n)
+                & (F.col("_jy") >= 0) & (F.col("_jy") < n))
+        .withColumn("cell", F.col("_jy") * n + F.col("_jx"))
+        .select("cell", "x", "y", "z", *TPU_COLS)
+    )
+
+
 def tin_numpy(points: np.ndarray, tpu: np.ndarray, grids: np.ndarray,
               centroid: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Reference math on one point set: returns (zp, var_zp, found).
@@ -114,6 +157,7 @@ def tin_interpolate(
     grid: DataFrame,
     cell_res: int = 4,
     centroid: tuple[float, float, float] | None = None,
+    halo_m: float | None = None,
 ) -> DataFrame:
     """points(x,y,z,+TPU) x grid(grid_id,x,y) -> TIN_SCHEMA rows.
 
@@ -127,25 +171,8 @@ def tin_interpolate(
         centroid = (c["cx"], c["cy"], c["cz"])
     cen = np.asarray(centroid, dtype=np.float64)
 
-    cell = F.expr(zcell_expr(SD, "x", "y", cell_res))
-    # halo fan-out: each point goes to its cell + 8 neighbors
     n = 1 << cell_res
-    neigh = spark.createDataFrame(
-        [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)], "dr int, dc int"
-    )
-    pts = (
-        points.withColumn("_ix", F.expr(
-            f"greatest(0, least({n - 1}, CAST(floor((x - {_X0!r}) / {_EXT!r} * {n}) AS BIGINT)))"))
-        .withColumn("_iy", F.expr(
-            f"greatest(0, least({n - 1}, CAST(floor((y - {_Y0!r}) / {_EXT!r} * {n}) AS BIGINT)))"))
-        .crossJoin(F.broadcast(neigh))
-        .withColumn("_jx", F.col("_ix") + F.col("dc"))
-        .withColumn("_jy", F.col("_iy") + F.col("dr"))
-        .filter((F.col("_jx") >= 0) & (F.col("_jx") < n)
-                & (F.col("_jy") >= 0) & (F.col("_jy") < n))
-        .withColumn("cell", F.col("_jy") * n + F.col("_jx"))
-        .select("cell", "x", "y", "z", *TPU_COLS)
-    )
+    pts = fan_out_points(spark, points, cell_res, halo_m)
     grd = grid.withColumn(
         "cell",
         F.expr(
@@ -186,3 +213,383 @@ def tin_interpolate(
 
 
 from gpiv_spark.functions.geocode import EXTENT as _EXT, X0 as _X0, Y0 as _Y0  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# Scale path: triangle table + JVM-side containment/propagation join.
+#
+# The cogrouped kernel above is the exact per-cell reference semantics;
+# for doc-scale throughput (10^12 docs) the winning plan is:
+#   1. build the TIN ONCE as a DataFrame of triangles (per coarse cell,
+#      halo'd Delaunay, each triangle owned by the cell containing its
+#      centroid -> no duplicates), exploded to the fine Z-order cells
+#      its bbox covers (Raptor-style equi+refine index);
+#   2. stream documents through an equi-join on the fine cell plus a
+#      barycentric-sign refine and the P2/P3/P5/E3 closed forms — all
+#      Catalyst column arithmetic, zero Python per doc.
+# Python cost is O(points); per-doc cost is wholly JVM codegen.
+# ---------------------------------------------------------------------------
+
+TRI_SCHEMA = (
+    "tri_id long, "
+    + ", ".join(f"{c}{k} double" for k in (1, 2, 3) for c in ("x", "y", "z"))
+    + ", "
+    + ", ".join(
+        f"{t}_{k} double" for k in (1, 2, 3)
+        for t in ("var_x", "var_y", "var_z", "cov_xy", "cov_xz", "cov_yz")
+    )
+)
+
+
+def build_triangles(spark: SparkSession, points: DataFrame, cell_res: int = 4,
+                    halo_m: float | None = None) -> DataFrame:
+    """Distributed Delaunay -> triangle table (one row per owned triangle).
+
+    Ownership = the coarse cell containing the triangle centroid, so the
+    union over cells is duplicate-free. Index to fine cells afterwards
+    via index_triangles (Spark, shuffle path) or pack_triangle_index
+    (driver-side NumPy, broadcast path).
+    """
+    n = 1 << cell_res
+    pts = fan_out_points(spark, points, cell_res, halo_m)
+
+    csize = _EXT / n
+
+    def _cell_tris(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as _np
+
+        cell = int(key[0])
+        cy, cx = divmod(cell, n)
+        x_lo, x_hi = _X0 + cx * csize, _X0 + (cx + 1) * csize
+        y_lo, y_hi = _Y0 + cy * csize, _Y0 + (cy + 1) * csize
+        pdf = pdf.drop_duplicates(subset=["x", "y"])
+        p = pdf[["x", "y", "z"]].to_numpy(dtype=_np.float64)
+        tpu = pdf[TPU_COLS].to_numpy(dtype=_np.float64)
+        cols = (["tri_id"]
+                + [f"{c}{k}" for k in (1, 2, 3) for c in ("x", "y", "z")]
+                + [f"{t}_{k}" for k in (1, 2, 3) for t in TPU_COLS])
+        if len(p) < 3:
+            return pd.DataFrame(columns=cols)
+        tri = dl.delaunay(p[:, :2])
+        if len(tri) == 0:
+            return pd.DataFrame(columns=cols)
+        cen_x = p[tri, 0].mean(axis=1)
+        cen_y = p[tri, 1].mean(axis=1)
+        own = (cen_x >= x_lo) & (cen_x < x_hi) & (cen_y >= y_lo) & (cen_y < y_hi)
+        tri = tri[own]
+        if len(tri) == 0:
+            return pd.DataFrame(columns=cols)
+        vx = p[tri, 0]
+        vy = p[tri, 1]
+        vz = p[tri, 2]
+        # cell-scoped unique id (cells own disjoint triangle sets)
+        data = {"tri_id": cell * (1 << 24) + _np.arange(len(tri), dtype=_np.int64)}
+        for k in range(3):
+            data[f"x{k + 1}"] = vx[:, k]
+            data[f"y{k + 1}"] = vy[:, k]
+            data[f"z{k + 1}"] = vz[:, k]
+            tp = tpu[tri[:, k]]
+            for ti, t in enumerate(TPU_COLS):
+                data[f"{t}_{k + 1}"] = tp[:, ti]
+        base = pd.DataFrame(data)
+        return base
+
+    # Pin the kernel stage's parallelism: an explicit hash repartition on
+    # the group key satisfies applyInPandas' distribution requirement, so
+    # no further exchange is inserted and AQE cannot byte-coalesce the
+    # CPU-bound Delaunay tasks down to a handful.
+    npart = spark.sparkContext.defaultParallelism
+    return (
+        pts.repartition(npart, "cell")
+        .groupBy("cell")
+        .applyInPandas(_cell_tris, TRI_SCHEMA)
+    )
+
+
+def index_triangles(triangles: DataFrame, index_res: int) -> DataFrame:
+    """Explode each triangle to the fine Z-order cells its bbox covers.
+
+    Pure JVM (explode(sequence(...)) twice) — the Raptor-style equi-join
+    index for the shuffle path. The broadcast path computes the same
+    mapping driver-side in pack_triangle_index instead.
+    """
+    nf = 1 << index_res
+    fs = _EXT / nf
+
+    def lo(c, o):
+        return (f"greatest(0, least({nf - 1}, "
+                f"CAST(floor((least(x1,x2,x3) - {o!r}) / {fs!r}) AS BIGINT)))"
+                .replace("x1,x2,x3", c))
+
+    def hi(c, o):
+        return (f"greatest(0, least({nf - 1}, "
+                f"CAST(floor((greatest(x1,x2,x3) - {o!r}) / {fs!r}) AS BIGINT)))"
+                .replace("x1,x2,x3", c))
+
+    return (
+        triangles
+        .withColumn("_iy", F.expr(
+            f"explode(sequence({lo('y1,y2,y3', _Y0)}, {hi('y1,y2,y3', _Y0)}))"))
+        .withColumn("_ix", F.expr(
+            f"explode(sequence({lo('x1,x2,x3', _X0)}, {hi('x1,x2,x3', _X0)}))"))
+        .withColumn("icell", F.col("_iy") * nf + F.col("_ix"))
+        .drop("_ix", "_iy")
+    )
+
+
+def propagate_at(docs_geo: DataFrame, triangles: DataFrame, index_res: int = 7,
+                 centroid: tuple[float, float, float] = (0.0, 0.0, 0.0),
+                 broadcast_triangles: bool = True) -> DataFrame:
+    """Per-doc TIN interpolation + E3 variance — pure Catalyst exprs.
+
+    docs_geo needs (doc_id, x, y). Returns doc_id, zp, var_zp (docs whose
+    location is outside every owned triangle are dropped — hull edge).
+
+    Physical shape (semi-join reduction): the high-fanout containment
+    probe (docs x candidate triangles, ~10-30 candidates/doc) runs on a
+    NARROW index projection (icell, tri_id, 3 vertex xy pairs); only
+    each doc's single winning tri_id survives to the second, 1:1 join
+    that gathers the full 27-column triangle payload for the E3 math.
+    A wide-row fanout join was memory-traffic-bound and anti-scaled
+    with executor threads; the narrow probe is ~5x less traffic.
+    """
+    from gpiv_spark.operators import tin_math
+
+    nf = 1 << index_res
+    d = docs_geo.withColumn(
+        "icell",
+        F.expr(
+            f"greatest(0, least({nf - 1}, CAST(floor((y - {_Y0!r}) / {_EXT!r} * {nf}) AS BIGINT)))"
+        ) * nf
+        + F.expr(
+            f"greatest(0, least({nf - 1}, CAST(floor((x - {_X0!r}) / {_EXT!r} * {nf}) AS BIGINT)))"
+        ),
+    )
+    narrow = index_triangles(
+        triangles.select("tri_id", "x1", "y1", "x2", "y2", "x3", "y3"),
+        index_res,
+    )
+    t = F.broadcast(narrow) if broadcast_triangles else narrow
+    j = d.join(t, "icell")
+
+    # barycentric containment (boundary-inclusive, CCW triangles)
+    def _sign(px, py, ax, ay, bx, by):
+        return f"(({px} - {bx}) * ({ay} - {by}) - ({ax} - {bx}) * ({py} - {by}))"
+
+    s1 = _sign("x", "y", "x1", "y1", "x2", "y2")
+    s2 = _sign("x", "y", "x2", "y2", "x3", "y3")
+    s3 = _sign("x", "y", "x3", "y3", "x1", "y1")
+    inside = (
+        f"(({s1} >= 0 AND {s2} >= 0 AND {s3} >= 0) OR "
+        f"({s1} <= 0 AND {s2} <= 0 AND {s3} <= 0))"
+    )
+    # a doc on a shared edge matches 2 triangles: deterministic pick
+    hits = (
+        j.filter(F.expr(inside))
+        .groupBy("doc_id")
+        .agg(
+            F.min("tri_id").alias("tri_id"),
+            F.first("x").alias("x"),
+            F.first("y").alias("y"),
+        )
+    )
+
+    full = F.broadcast(triangles) if broadcast_triangles else triangles
+    j = hits.join(full, "tri_id")
+
+    cx, cy, cz = centroid
+    v = {}
+    for k in (1, 2, 3):
+        v[f"x{k}"] = f"(x{k} - {cx!r})"
+        v[f"y{k}"] = f"(y{k} - {cy!r})"
+        v[f"z{k}"] = f"(z{k} - {cz!r})"
+    co = tin_math.tin_coeffs_exprs(v)
+    xp, yp = f"(x - {cx!r})", f"(y - {cy!r})"
+    zp = tin_math.tin_interp_expr(co["A"], co["B"], co["C"], co["D"], xp, yp,
+                                  repr(cz))
+    pd9 = tin_math.tin_partials_exprs(v, xp, yp, co["A"], co["B"], co["C"],
+                                      co["D"])
+    tpus = [
+        {t: f"{t}_{k}" for t in TPU_COLS}
+        for k in (1, 2, 3)
+    ]
+    var = tin_math.tin_propagate_expr(pd9, tpus)
+    return j.select(
+        "doc_id",
+        F.expr(zp).alias("zp"),
+        F.expr(var).alias("var_zp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-index path (the BASELINE.json architecture: "broadcast R-tree +
+# prepared-geometry point-in-polygon"): the triangle table is collected
+# once, packed into flat NumPy arrays with a CSR-style cell index, and
+# broadcast; documents stream through mapInPandas with NO shuffle — each
+# Arrow batch probes the worker-local index, runs the barycentric refine
+# and the vectorized E3 quadratic form, and emits (doc_id, zp, var_zp).
+# One Python call per ~64k-doc batch; per-doc cost is pure NumPy.
+# ---------------------------------------------------------------------------
+
+_IDX_CACHE: dict[int, dict] = {}
+
+
+def pack_triangle_index(full_pdf: pd.DataFrame, index_res: int) -> dict:
+    """CSR cell index (int32 indirection) + unique-triangle payload.
+
+    ``full_pdf``: one row per triangle (tri_id + 9 vertex + 18 tpu cols).
+    The fine-cell covering (bbox) is computed HERE, vectorized on the
+    driver — the executors never ship exploded index rows.
+    """
+    nf = 1 << index_res
+    fs = _EXT / nf
+    t = full_pdf.sort_values("tri_id").reset_index(drop=True)
+    vx = t[["x1", "x2", "x3"]].to_numpy(np.float64)
+    vy = t[["y1", "y2", "y3"]].to_numpy(np.float64)
+    ix_lo = np.clip(((vx.min(1) - _X0) / fs).astype(np.int64), 0, nf - 1)
+    ix_hi = np.clip(((vx.max(1) - _X0) / fs).astype(np.int64), 0, nf - 1)
+    iy_lo = np.clip(((vy.min(1) - _Y0) / fs).astype(np.int64), 0, nf - 1)
+    iy_hi = np.clip(((vy.max(1) - _Y0) / fs).astype(np.int64), 0, nf - 1)
+    nx = ix_hi - ix_lo + 1
+    ny = iy_hi - iy_lo + 1
+    reps = nx * ny
+    total = int(reps.sum())
+    rows = np.repeat(np.arange(len(t), dtype=np.int32), reps)
+    # per-pair offset within its triangle's bbox window (vectorized)
+    base = np.concatenate([[0], np.cumsum(reps)[:-1]])
+    within = np.arange(total) - np.repeat(base, reps)
+    wx = within % np.repeat(nx, reps)
+    wy = within // np.repeat(nx, reps)
+    icell = (np.repeat(iy_lo, reps) + wy) * nf + (np.repeat(ix_lo, reps) + wx)
+    order = np.argsort(icell, kind="stable")
+    icell = icell[order]
+    rows = rows[order]
+    counts = np.bincount(icell, minlength=nf * nf)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    pack = {"offsets": offsets, "cell_tri": rows, "nf": nf}
+    for c in ("x1", "y1", "z1", "x2", "y2", "z2", "x3", "y3", "z3"):
+        pack[c] = t[c].to_numpy(np.float64)
+    for k in (1, 2, 3):
+        for tc in TPU_COLS:
+            pack[f"{tc}_{k}"] = t[f"{tc}_{k}"].to_numpy(np.float64)
+    return pack
+
+
+def _probe_batch(idx: dict, x: np.ndarray, y: np.ndarray,
+                 centroid: tuple) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized containment + P2/P3/P5/E3 for one batch of points."""
+    nf = idx["nf"]
+    fsize = _EXT / nf
+    ix = np.clip(((x - _X0) / fsize).astype(np.int64), 0, nf - 1)
+    iy = np.clip(((y - _Y0) / fsize).astype(np.int64), 0, nf - 1)
+    cell = iy * nf + ix
+    off = idx["offsets"]
+    lo = off[cell]
+    hi = off[cell + 1]
+    ncand = hi - lo
+    doc_idx = np.repeat(np.arange(len(x)), ncand)
+    # candidate slots: ranges [lo_i, hi_i) concatenated, vectorized
+    total = int(ncand.sum())
+    if total == 0:
+        return (np.full(len(x), np.nan), np.full(len(x), np.nan),
+                np.zeros(len(x), bool))
+    starts = np.repeat(lo, ncand)
+    within = np.arange(total) - np.repeat(
+        np.concatenate([[0], np.cumsum(ncand)[:-1]]), ncand
+    )
+    tri_idx = idx["cell_tri"][starts + within]
+    if len(tri_idx) == 0:
+        return (np.full(len(x), np.nan), np.full(len(x), np.nan),
+                np.zeros(len(x), bool))
+    px = x[doc_idx]
+    py = y[doc_idx]
+    x1, y1 = idx["x1"][tri_idx], idx["y1"][tri_idx]
+    x2, y2 = idx["x2"][tri_idx], idx["y2"][tri_idx]
+    x3, y3 = idx["x3"][tri_idx], idx["y3"][tri_idx]
+    d1 = (px - x2) * (y1 - y2) - (x1 - x2) * (py - y2)
+    d2 = (px - x3) * (y2 - y3) - (x2 - x3) * (py - y3)
+    d3 = (px - x1) * (y3 - y1) - (x3 - x1) * (py - y1)
+    inside = ((d1 >= 0) & (d2 >= 0) & (d3 >= 0)) | (
+        (d1 <= 0) & (d2 <= 0) & (d3 <= 0)
+    )
+    # first (lowest tri row id == min tri_id order) hit per doc
+    sel = np.full(len(x), -1, dtype=np.int64)
+    hit_docs = doc_idx[inside][::-1]
+    hit_tris = tri_idx[inside][::-1]
+    sel[hit_docs] = hit_tris  # reversed: earliest candidate wins
+    found = sel >= 0
+    s = sel[found]
+    cx, cy, cz = centroid
+    v = {}
+    for k, (xc, yc, zc) in enumerate(
+        (("x1", "y1", "z1"), ("x2", "y2", "z2"), ("x3", "y3", "z3")), start=1
+    ):
+        v[f"x{k}"] = idx[xc][s] - cx
+        v[f"y{k}"] = idx[yc][s] - cy
+        v[f"z{k}"] = idx[zc][s] - cz
+    xp = x[found] - cx
+    yp = y[found] - cy
+    x1, y1, z1 = v["x1"], v["y1"], v["z1"]
+    x2, y2, z2 = v["x2"], v["y2"], v["z2"]
+    x3, y3, z3 = v["x3"], v["y3"], v["z3"]
+    A = y1 * z3 - y1 * z2 + y2 * z1 - y2 * z3 + y3 * z2 - y3 * z1
+    B = x1 * z2 - x1 * z3 + x2 * z3 - x2 * z1 + x3 * z1 - x3 * z2
+    C = x1 * y2 - x1 * y3 + x2 * y3 - x2 * y1 + x3 * y1 - x3 * y2
+    D = (x1 * y2 * z3 - x1 * y3 * z2 + x2 * y3 * z1 - x2 * y1 * z3
+         + x3 * y1 * z2 - x3 * y2 * z1)
+    zp = np.full(len(x), np.nan)
+    var = np.full(len(x), np.nan)
+    zp[found] = (A / C) * xp + (B / C) * yp + D / C + cz
+    C2 = C * C
+    E = xp * A + yp * B + D
+    dmat = np.empty((9, found.sum()))
+    dmat[0] = ((y3 - y2) * E + ((z2 - z3) * yp + (y2 * z3 - y3 * z2)) * C) / C2
+    dmat[3] = ((y1 - y3) * E + ((z3 - z1) * yp + (y3 * z1 - y1 * z3)) * C) / C2
+    dmat[6] = ((y2 - y1) * E + ((z1 - z2) * yp + (y1 * z2 - y2 * z1)) * C) / C2
+    dmat[1] = ((x2 - x3) * E + ((z3 - z2) * xp + (x3 * z2 - x2 * z3)) * C) / C2
+    dmat[4] = ((x3 - x1) * E + ((z1 - z3) * xp + (x1 * z3 - x3 * z1)) * C) / C2
+    dmat[7] = ((x1 - x2) * E + ((z2 - z1) * xp + (x2 * z1 - x1 * z2)) * C) / C2
+    dmat[2] = ((y2 - y3) * xp + (x3 - x2) * yp + (x2 * y3 - x3 * y2)) / C
+    dmat[5] = ((y3 - y1) * xp + (x1 - x3) * yp + (x3 * y1 - x1 * y3)) / C
+    dmat[8] = ((y1 - y2) * xp + (x2 - x1) * yp + (x1 * y2 - x2 * y1)) / C
+    acc = np.zeros(found.sum())
+    for k in range(3):
+        dx, dy, dz = dmat[3 * k], dmat[3 * k + 1], dmat[3 * k + 2]
+        acc += (dx * dx * idx[f"var_x_{k + 1}"][s]
+                + dy * dy * idx[f"var_y_{k + 1}"][s]
+                + dz * dz * idx[f"var_z_{k + 1}"][s]
+                + 2 * dx * dy * idx[f"cov_xy_{k + 1}"][s]
+                + 2 * dx * dz * idx[f"cov_xz_{k + 1}"][s]
+                + 2 * dy * dz * idx[f"cov_yz_{k + 1}"][s])
+    var[found] = acc
+    return zp, var, found
+
+
+def propagate_at_broadcast(spark: SparkSession, docs_geo: DataFrame,
+                           triangles: DataFrame, index_res: int = 7,
+                           centroid: tuple[float, float, float] = (0.0, 0.0, 0.0),
+                           ) -> DataFrame:
+    """Shuffle-free doc-side propagation via a broadcast triangle index.
+
+    Semantics match propagate_at (docs outside every triangle dropped).
+    """
+    pack = pack_triangle_index(triangles.toPandas(), index_res)
+    bc = spark.sparkContext.broadcast(pack)
+    cen = tuple(centroid)
+
+    def probe(batches):
+        idx = bc.value
+        for pdf in batches:
+            x = pdf["x"].to_numpy(np.float64)
+            y = pdf["y"].to_numpy(np.float64)
+            zp, var, found = _probe_batch(idx, x, y, cen)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[found],
+                    "zp": zp[found],
+                    "var_zp": var[found],
+                }
+            )
+            yield out
+
+    return docs_geo.mapInPandas(probe, "doc_id long, zp double, var_zp double")

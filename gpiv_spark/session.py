@@ -23,14 +23,24 @@ def get_spark(app: str = "gpiv_spark", cpus: int | None = None,
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.default.parallelism", str(cpus))
+        # floor for AQE partition coalescing (parallelismFirst): keeps
+        # CPU-bound pandas-UDF stages at >= 4 tasks/core even when the
+        # shuffled bytes are small — byte-based coalescing otherwise
+        # serializes the NumPy kernels (observed: 1024 cells -> 23 tasks)
+        .config("spark.default.parallelism", str(4 * cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Pinned heap + ParallelGC: G1's periodic uncommit (madvise ->
+        # TLB-shootdown IPIs) burned 5x more kernel than user CPU on this
+        # virtualized 32-core box and inverted thread scaling.
+        .config("spark.driver.extraJavaOptions",
+                f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '16g')} -XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )

@@ -1,0 +1,77 @@
+"""The two doc-scale TIN paths (shuffle equi+refine join, broadcast
+index probe) must agree with each other and interpolate planes exactly."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from gpiv_spark.dialect import SPARK as d
+from gpiv_spark.functions import geocode
+from gpiv_spark.operators.tin import (
+    build_triangles,
+    propagate_at,
+    propagate_at_broadcast,
+)
+
+X0, Y0 = geocode.X0, geocode.Y0
+CEN = (X0 + 239.0, Y0 + 239.0, 7.0)
+
+
+@pytest.fixture(scope="module")
+def tris(spark):
+    pts = spark.range(20_000).select(F.col("id").alias("pid"))
+    px = geocode.xq_expr(d, "pid")
+    py = geocode.yq_expr(d, "pid")
+    points = pts.select(
+        F.expr(px).alias("x"),
+        F.expr(py).alias("y"),
+        F.expr(f"0.01 * ({px} - {X0!r}) - 0.02 * ({py} - {Y0!r}) + 5.0").alias("z"),
+        F.expr("(1 + pid % 7) * 0.0001").alias("var_x"),
+        F.expr("(1 + pid % 5) * 0.0001").alias("var_y"),
+        F.expr("(1 + pid % 3) * 0.0001").alias("var_z"),
+        F.lit(0.0).alias("cov_xy"),
+        F.lit(0.0).alias("cov_xz"),
+        F.lit(0.0).alias("cov_yz"),
+    )
+    t = build_triangles(spark, points, cell_res=3, halo_m=8.0).cache()
+    t.count()
+    yield t
+    t.unpersist()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(5_000).select(
+        F.col("id").alias("doc_id"),
+        F.expr(geocode.x_expr(d, "id")).alias("x"),
+        F.expr(geocode.y_expr(d, "id")).alias("y"),
+    )
+
+
+def test_shuffle_path_plane_exact(spark, tris, docs):
+    res = propagate_at(docs, tris, index_res=8, centroid=CEN).toPandas()
+    assert len(res) > 4900  # nearly all docs inside the hull
+    expected = 0.01 * (res["zp"] * 0)  # placeholder shape
+    dgeo = docs.toPandas().set_index("doc_id")
+    exp = 0.01 * (dgeo.loc[res["doc_id"], "x"].to_numpy() - X0) - 0.02 * (
+        dgeo.loc[res["doc_id"], "y"].to_numpy() - Y0
+    ) + 5.0
+    np.testing.assert_allclose(res["zp"], exp, atol=1e-7)
+    assert (res["var_zp"] > 0).all()
+
+
+def test_broadcast_path_matches_shuffle_path(spark, tris, docs):
+    a = (
+        propagate_at(docs, tris, index_res=8, centroid=CEN)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    b = (
+        propagate_at_broadcast(spark, docs, tris, index_res=8, centroid=CEN)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert len(a) == len(b)
+    np.testing.assert_allclose(a["zp"], b["zp"], atol=1e-9)
+    # var depends on WHICH triangle is picked on shared edges; interior
+    # docs pick identically, tolerate a tiny disagreement fraction
+    close = np.isclose(a["var_zp"], b["var_zp"], rtol=1e-6)
+    assert close.mean() > 0.999
