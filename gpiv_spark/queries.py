@@ -600,3 +600,4 @@ def q_bias_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 from gpiv_spark import queries_text as _queries_text  # noqa: E402,F401
 from gpiv_spark import queries_piv as _queries_piv  # noqa: E402,F401
 from gpiv_spark import queries_tin as _queries_tin  # noqa: E402,F401
+from gpiv_spark import queries_misc as _queries_misc  # noqa: E402,F401

@@ -1,0 +1,306 @@
+"""Batch-4 queries: raster assembly, display aggs, LSH dedup pairs,
+k-ring kNN, sessionization, ANN bucketing, multimodal stub.
+
+Registered into gpiv_spark.queries.REGISTRY (driver correctness gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpiv_spark.dialect import DUCKDB, SPARK
+from gpiv_spark.functions import geocode
+from gpiv_spark.functions import text as tx
+from gpiv_spark.queries import register, _run_both
+from gpiv_spark.sources.raster import hash_value_expr
+
+# --- raster_flip (P8): north-up flip + sqrt(variance)->std ------------------
+# Mirrors run_test_v1.py:120-121,129-130: reshape + np.flipud + np.sqrt.
+# Raster derived from the hash field so both engines synthesize it.
+
+_RD = 32  # 32x32 derived raster
+
+
+def _flip_sql(d) -> str:
+    v = hash_value_expr(d, "r.i", "c.i")
+    return f"""
+    SELECT ({_RD - 1} - r.i) AS row, c.i AS col,
+           sqrt({v} + 1.0) AS std_value
+    FROM {d.range_sql(_RD, "r")} CROSS JOIN {d.range_sql(_RD, "c")}
+    """
+
+
+@register("raster_flip", _flip_sql(DUCKDB))
+def q_raster_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_flip_sql(SPARK))
+
+
+# --- display_norm (A7): percentile clip + median (show_functions.py:45-46,70)
+
+_PCT_SQL_SPARK = """
+    SELECT l_returnflag,
+           round(percentile(l_extendedprice, 0.01), 6) AS p01,
+           round(percentile(l_extendedprice, 0.99), 6) AS p99,
+           round(percentile(l_extendedprice, 0.5), 6) AS med
+    FROM lineitem GROUP BY l_returnflag
+"""
+_PCT_SQL_DUCK = """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.01), 6) AS p01,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS med
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("display_norm", _PCT_SQL_DUCK)
+def q_display_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(_PCT_SQL_SPARK)
+
+
+# --- minhash_lsh_pairs: banded LSH candidate generation ---------------------
+# 8 minhashes -> 4 bands of 2; candidate pair = any band collides.
+# Spark runs the SCALABLE plan (explode bands -> equi-join -> dedup);
+# DuckDB oracle uses the equivalent quadratic formulation (fine at sf).
+
+
+def _sig_cte(d) -> str:
+    th = tx.token_hash_expr("tok")
+    mh = tx.minhash_exprs("th")
+    mins = ", ".join(f"min({m}) AS m{i}" for i, m in enumerate(mh))
+    if d.name == "spark":
+        tok_src = ("SELECT doc_id, explode(split(text, ' ')) AS tok "
+                   "FROM documents WHERE length(text) > 0")
+    else:
+        tok_src = ("SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+                   "FROM documents WHERE length(text) > 0")
+    return f"""
+    toks AS ({tok_src}),
+    hashed AS (SELECT doc_id, CAST({th} AS BIGINT) AS th FROM toks
+               WHERE length(tok) > 0),
+    sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)
+    """
+
+
+_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
+
+_LSH_DUCK = f"""
+    WITH {_sig_cte(DUCKDB)}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({' + '.join(f"CAST(a.m{i} = b.m{i} AS INT)" for i in range(8))}
+                AS DOUBLE) / 8 AS sig_sim
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+     AND ({' OR '.join(f"(a.m{i} = b.m{i} AND a.m{j} = b.m{j})" for i, j in _BANDS)})
+"""
+
+
+@register("minhash_lsh_pairs", _LSH_DUCK)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    bands_expr = ", ".join(
+        f"struct({bi} AS band, m{i} AS h1, m{j} AS h2)"
+        for bi, (i, j) in enumerate(_BANDS)
+    )
+    sigs = spark.sql(f"WITH {_sig_cte(SPARK)} SELECT * FROM sig")
+    sigs.cache()
+    banded = sigs.select(
+        "doc_id", F.explode(F.expr(f"array({bands_expr})")).alias("b")
+    ).select("doc_id", "b.band", "b.h1", "b.h2")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sim = sum(
+        F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    return (
+        cand.join(sigs.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sigs.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a", "doc_b", (sim.cast("double") / 8).alias("sig_sim")
+        )
+    )
+
+
+# --- knn_kring: doc-to-doc kNN bounded to the 3x3 cell neighborhood ---------
+# The H3-pattern scale path: candidates only from adjacent cells.
+
+_KRES = 5  # 32x32 cells
+
+
+def _kring_sql(d) -> str:
+    x = geocode.x_expr(d, "doc_id")
+    y = geocode.y_expr(d, "doc_id")
+    n = 1 << _KRES
+    ix = f"greatest(0, least({n - 1}, {d.big(f'floor((x - {geocode.X0!r}) / {geocode.EXTENT!r} * {n})')}))"
+    iy = f"greatest(0, least({n - 1}, {d.big(f'floor((y - {geocode.Y0!r}) / {geocode.EXTENT!r} * {n})')}))"
+    return f"""
+    WITH geo AS (
+      SELECT doc_id, x, y, {ix} AS ix, {iy} AS iy
+      FROM (SELECT doc_id, {x} AS x, {y} AS y FROM documents) g0
+    ),
+    cand AS (
+      SELECT a.doc_id, b.doc_id AS nbr,
+             (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist_sq
+      FROM geo a JOIN geo b
+        ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
+       AND a.doc_id <> b.doc_id
+    )
+    SELECT doc_id, nbr, rnk, dist_sq FROM (
+      SELECT doc_id, nbr, dist_sq,
+             row_number() OVER (PARTITION BY doc_id ORDER BY dist_sq, nbr) AS rnk
+      FROM cand
+    ) t WHERE rnk <= 3
+    """
+
+
+@register("knn_kring", _kring_sql(DUCKDB))
+def q_knn_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_both(spark, sf_dir, _kring_sql(SPARK))
+
+
+# --- sessionize: gap-based sessionization over the events stream table ------
+# (SURVEY §2.8 windows; lag + conditional cumsum, the batch sessionizer.)
+
+_SESS_SQL = """
+    WITH marked AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR CAST(ts AS TIMESTAMP) > CAST(lag(ts) OVER w AS TIMESTAMP)
+                          + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events, round(sum(value), 6) AS total_value
+    FROM sess GROUP BY user_id, session_id
+"""
+
+
+@register("sessionize", _SESS_SQL)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    return spark.sql(_SESS_SQL)
+
+
+# --- ann_lsh_buckets: random-hyperplane LSH over embeddings -----------------
+# Deterministic pseudo-hyperplanes h_j[i] = ((j*311 + i*127) % 1009)/1009 - 0.5;
+# bucket = sign bits of 6 dot products. The scale path for ANN: candidates
+# only within a bucket.
+
+_NH = 6
+
+
+def _hyper(d, j: int) -> str:
+    # dot(embedding, h_j) rendered per dialect
+    comp = f"(CAST(((({j} * 311) + (i - 1) * 127) % 1009) AS DOUBLE) / 1009.0 - 0.5)"
+    if d.name == "spark":
+        return (
+            "aggregate(zip_with(embedding, "
+            f"transform(sequence(1, size(embedding)), i -> {comp}), "
+            "(a, b) -> CAST(a AS DOUBLE) * b), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, len(embedding) + 1), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * {comp})), (acc, v) -> acc + v)"
+    )
+
+
+def _ann_sql(d) -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN {_hyper(d, j)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_NH)
+    )
+    return f"""
+    SELECT CAST(({bucket}) AS BIGINT) AS bucket,
+           count(*) AS n_vecs,
+           CAST(min(vec_id) AS BIGINT) AS min_vec,
+           CAST(max(vec_id) AS BIGINT) AS max_vec
+    FROM embeddings GROUP BY 1
+    """
+
+
+@register("ann_lsh_buckets", _ann_sql(DUCKDB))
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(_ann_sql(SPARK))
+
+
+# --- media_features: multimodal stub pipeline (rows-only) --------------------
+# Spans-shaped docs -> explode media spans -> mapInPandas "decode" stub
+# (deterministic fake: real decode needs image/audio libs absent here;
+# the Spark-side plumbing — schema, batching, partitioning — is real).
+
+
+@register("media_features", None)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from gpiv_spark import fixtures
+
+    n_docs = max(200, spark.read.parquet(f"{sf_dir}/documents.parquet").count() // 2)
+    docs = fixtures.spans_documents(spark, n_docs=min(n_docs, 1000))
+    media = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") != "text")
+        .select("doc_id", "s.kind", "s.media_ref", "s.offset")
+    )
+
+    def decode_stub(batches):
+        for pdf in batches:
+            # STUB: container lacks image/audio codecs. A real deployment
+            # decodes pdf["media_ref"] bytes here; we emit a deterministic
+            # fake embedding-summary so the full Spark plumbing is tested.
+            refs = pdf["media_ref"].astype(str)
+            h = np.frombuffer(
+                b"".join(r[-8:].encode().ljust(8, b"\0") for r in refs),
+                dtype=np.int64,
+            ) if len(refs) else np.empty(0, np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes_fake": np.abs(h) % 100_000,
+                    "feat_mean": (np.abs(h) % 1000).astype("float64") / 1000.0,
+                }
+            )
+
+    feats = media.mapInPandas(
+        decode_stub,
+        "doc_id string, kind string, n_bytes_fake long, feat_mean double",
+    )
+    return feats.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.round(F.avg("feat_mean"), 6).alias("avg_feat"),
+    )
