@@ -1,0 +1,18 @@
+#!/usr/bin/env bash
+# Build the --py-files artifact for spark-submit.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+mkdir -p dist
+rm -f dist/gpiv_spark.zip
+python - << 'EOF'
+import zipfile
+from pathlib import Path
+
+with zipfile.ZipFile("dist/gpiv_spark.zip", "w", zipfile.ZIP_DEFLATED) as z:
+    for p in sorted(Path("gpiv_spark").rglob("*.py")):
+        z.write(p, p.as_posix())
+print("wrote dist/gpiv_spark.zip")
+EOF
+echo "submit example:"
+echo "  spark-submit --master 'local[32]' --py-files dist/gpiv_spark.zip \\"
+echo "      jobs/run_pipeline.py --docs 2000000 --points 120000 --checkpoint /tmp/gpiv_ckpt"
