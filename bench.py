@@ -59,12 +59,15 @@ def build_tin_pack(spark, n_points: int):
         F.lit(0.0).alias("cov_yz"),
     )
     tris = build_triangles(spark, points, cell_res=4, halo_m=6.0)
-    pack = pack_triangle_index(tris.toPandas(), index_res=9)
+    pack = pack_triangle_index(tris.toArrow(), index_res=9)
     return spark.sparkContext.broadcast(pack)
 
 
-def doc_stream(spark, n_docs: int, bc):
-    """Phase B: the shuffle-free doc pipeline against the broadcast index."""
+def doc_stream(spark, n_docs: int, bc, n_tasks: int = 128):
+    """Phase B: the shuffle-free doc pipeline against the broadcast index.
+
+    n_tasks is fixed (not cores-derived) so task granularity — and thus
+    straggler quantization — is identical at every parallelism level."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
@@ -75,7 +78,7 @@ def doc_stream(spark, n_docs: int, bc):
     from gpiv_spark.operators import tiling
     from gpiv_spark.operators.tin import _probe_batch
 
-    docs = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    docs = spark.range(0, n_docs, 1, n_tasks).select(F.col("id").alias("doc_id"))
     x = geocode.x_expr(d, "doc_id")
     y = geocode.y_expr(d, "doc_id")
     geo = docs.select(
@@ -228,6 +231,42 @@ def run_headline(cpus: int) -> tuple[float, float]:
         SparkSession._instantiatedSession = None
 
 
+def reference_workload(spark) -> dict:
+    """The reference's own e2e PIV job (run_test_v1.py:148-160): 478x478
+    rasters, template=100, step=50, search_scale=2, full covariance
+    propagation + the bias two-pass -> 25 cells. The reference runs this
+    single-threaded with an O(T^4) numeric Jacobian plus a >=5s
+    matplotlib render floor (BASELINE.md); the engine uses the analytic
+    Jacobian distributed over tiles."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from gpiv_spark.operators.piv import add_bias_variance, bias_variance, run_piv
+    from gpiv_spark.operators.tiling import PivConfig
+    from gpiv_spark.sources.raster import array_to_df, translated_pair
+
+    before, after = translated_pair(478, (3, -2), seed=42)
+    rng = np.random.default_rng(3)
+    unc = np.abs(rng.normal(0.08, 0.01, (478, 478)))
+    bdf = array_to_df(spark, before).cache()
+    adf = array_to_df(spark, after).cache()
+    udf_ = array_to_df(spark, unc).cache()
+    for df in (bdf, adf, udf_):
+        df.count()
+    cfg = PivConfig()
+    t0 = time.time()
+    piv = run_piv(spark, bdf, adf, cfg, propagate=True,
+                  before_unc=udf_, after_unc=udf_)
+    bias = bias_variance(run_piv(spark, bdf, bdf, cfg))
+    n = add_bias_variance(piv, bias).count()
+    wall = time.time() - t0
+    for df in (bdf, adf, udf_):
+        df.unpersist()
+    assert n == 25, n
+    return {"cells": n, "wall_sec": round(wall, 2)}
+
+
 def _control_work(seed: int) -> float:
     """Pure-NumPy compute chunk for the hardware-control measurement."""
     import numpy as np
@@ -273,6 +312,11 @@ def main() -> None:
     spark.stop()
 
     ctl = control_efficiency()
+    spark = get_spark("bench-ref", cpus=CPUS, shuffle_partitions=2 * CPUS)
+    ref = reference_workload(spark)
+    spark.stop()
+    from pyspark.sql import SparkSession
+    SparkSession._instantiatedSession = None
     b8, s8 = run_headline(8)
     b32, s32 = run_headline(32)
     b2, s2 = run_headline(2)
@@ -304,6 +348,7 @@ def main() -> None:
             "scaling_efficiency_8_to_32": round(eff_8_32, 3),
             "hw_control_mp_efficiency_2_8": round(ctl["efficiency"], 3),
         },
+        "reference_workload": ref,
     }
     Path("BENCH.md").write_text(
         "# BENCH — gpiv_spark\n\n"
@@ -328,6 +373,12 @@ def main() -> None:
         "idle) and run-to-run wall-time variance up to 2.5x; figures are "
         "best-of-2 warm runs. See BASELINE.md for the measurement "
         "protocol.\n\n"
+        f"Reference e2e workload (478x478, template=100/step=50/scale=2, "
+        f"propagation + bias two-pass, 25 cells): **{ref['wall_sec']}s** "
+        f"wall at local[{CPUS}] with the analytic Jacobian. The reference "
+        f"runs the same job single-threaded with an O(T^4) numeric "
+        f"Jacobian (~4.5e10 MAC, BASELINE.md) plus a >=5s GUI render "
+        f"floor.\n\n"
         "Per-query seconds at the bench SF:\n\n"
         + "\n".join(f"- {k}: {v}" for k, v in qtimes.items())
         + "\n"

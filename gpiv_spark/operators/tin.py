@@ -298,7 +298,7 @@ def build_triangles(spark: SparkSession, points: DataFrame, cell_res: int = 4,
     # the group key satisfies applyInPandas' distribution requirement, so
     # no further exchange is inserted and AQE cannot byte-coalesce the
     # CPU-bound Delaunay tasks down to a handful.
-    npart = spark.sparkContext.defaultParallelism
+    npart = max(spark.sparkContext.defaultParallelism, 128)
     return (
         pts.repartition(npart, "cell")
         .groupBy("cell")
@@ -434,16 +434,27 @@ def propagate_at(docs_geo: DataFrame, triangles: DataFrame, index_res: int = 7,
 _IDX_CACHE: dict[int, dict] = {}
 
 
-def pack_triangle_index(full_pdf: pd.DataFrame, index_res: int) -> dict:
+def pack_triangle_index(full_tbl, index_res: int) -> dict:
     """CSR cell index (int32 indirection) + unique-triangle payload.
 
-    ``full_pdf``: one row per triangle (tri_id + 9 vertex + 18 tpu cols).
-    The fine-cell covering (bbox) is computed HERE, vectorized on the
-    driver — the executors never ship exploded index rows.
+    ``full_tbl``: one row per triangle (tri_id + 9 vertex + 18 tpu cols),
+    as a pandas DataFrame OR a pyarrow Table (from DataFrame.toArrow(),
+    which skips the pandas conversion on the driver). The fine-cell
+    covering (bbox) is computed HERE, vectorized on the driver — the
+    executors never ship exploded index rows.
     """
     nf = 1 << index_res
     fs = _EXT / nf
-    t = full_pdf.sort_values("tri_id").reset_index(drop=True)
+    if not isinstance(full_tbl, pd.DataFrame):
+        cols = {
+            name: full_tbl.column(name).to_numpy(zero_copy_only=False)
+            for name in full_tbl.column_names
+        }
+        t = pd.DataFrame(cols)
+    else:
+        t = full_tbl
+    order = np.argsort(t["tri_id"].to_numpy(np.int64), kind="stable")
+    t = t.iloc[order].reset_index(drop=True)
     vx = t[["x1", "x2", "x3"]].to_numpy(np.float64)
     vy = t[["y1", "y2", "y3"]].to_numpy(np.float64)
     ix_lo = np.clip(((vx.min(1) - _X0) / fs).astype(np.int64), 0, nf - 1)
@@ -573,7 +584,7 @@ def propagate_at_broadcast(spark: SparkSession, docs_geo: DataFrame,
 
     Semantics match propagate_at (docs outside every triangle dropped).
     """
-    pack = pack_triangle_index(triangles.toPandas(), index_res)
+    pack = pack_triangle_index(triangles.toArrow(), index_res)
     bc = spark.sparkContext.broadcast(pack)
     cen = tuple(centroid)
 

@@ -304,3 +304,71 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_media"),
         F.round(F.avg("feat_mean"), 6).alias("avg_feat"),
     )
+
+
+# --- ann_ivf_topk: IVF-style ANN (coarse quantize -> search in-list) --------
+# 8 deterministic anchor "centroids" c_a[i] = ((a*53 + i*19) % 211)/211 - 0.5;
+# every vector is assigned to its nearest anchor (the IVF list), queries
+# search ONLY their own list — the scale path that avoids the full cross
+# product. Exact top-k within the list; both engines share the arithmetic.
+
+_NANCH = 8
+
+
+def _adot(d, a: int) -> str:
+    comp = f"(CAST((({a} * 53) + (i - 1) * 19) % 211 AS DOUBLE) / 211.0 - 0.5)"
+    if d.name == "spark":
+        return (
+            "aggregate(zip_with(embedding, "
+            f"transform(sequence(1, size(embedding)), i -> {comp}), "
+            "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, len(embedding) + 1), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * {comp})), (acc, v) -> acc + v)"
+    )
+
+
+def _ivf_assign(d) -> str:
+    """argmax dot-product anchor id as nested CASE (greatest of 8)."""
+    dots = [f"({_adot(d, a)})" for a in range(_NANCH)]
+    best = f"greatest({', '.join(dots)})"
+    return ("CASE " + " ".join(
+        f"WHEN {dots[a]} = {best} THEN {a}" for a in range(_NANCH)
+    ) + " ELSE -1 END")
+
+
+def _ivf_sql(d) -> str:
+    if d.name == "spark":
+        dot = ("aggregate(zip_with(q.embedding, c.embedding, "
+               "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+               "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    else:
+        dot = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+               "list_transform(range(1, len(q.embedding) + 1), "
+               "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), "
+               "(acc, v) -> acc + v)")
+    assign = _ivf_assign(d)
+    return f"""
+    WITH lists AS (
+      SELECT vec_id, embedding, CAST(({assign}) AS BIGINT) AS ivf_list
+      FROM embeddings
+    )
+    SELECT query_id, vec_id, rnk, round(dot, 6) AS dot FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {dot} AS dot,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY {dot} DESC, c.vec_id)
+               AS rnk
+      FROM lists q JOIN lists c
+        ON q.ivf_list = c.ivf_list AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    ) t WHERE rnk <= 3
+    """
+
+
+@register("ann_ivf_topk", _ivf_sql(DUCKDB))
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(_ivf_sql(SPARK))
