@@ -372,3 +372,93 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embeddings"
     )
     return spark.sql(_ivf_sql(SPARK))
+
+
+# --- cosine_neardup: embedding-cosine near-duplicate pairs ------------------
+# The last of the dedup family (exact / minhash / LSH / simhash / jaccard /
+# EMBEDDING-COSINE): all pairs above a cosine threshold. Exact quadratic
+# formulation here (fine at the gate SF); the scale path reuses
+# ann_lsh_buckets to restrict candidates to a bucket.
+
+_NEARDUP_T = 0.30
+
+
+def _neardup_sql(d) -> str:
+    if d.name == "spark":
+        dot = ("aggregate(zip_with(a.embedding, b.embedding, "
+               "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+               "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+        nrm = (lambda e: f"sqrt(aggregate({e}, CAST(0.0 AS DOUBLE), "
+               f"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    else:
+        dot = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+               "list_transform(range(1, len(a.embedding) + 1), "
+               "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), "
+               "(acc, v) -> acc + v)")
+        nrm = (lambda e: f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+               f"list_transform({e}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), "
+               f"(acc, v) -> acc + v))")
+    cos = f"({dot} / ({nrm('a.embedding')} * {nrm('b.embedding')}))"
+    return f"""
+    SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) t WHERE cosine >= {_NEARDUP_T!r}
+    """
+
+
+@register("cosine_neardup", _neardup_sql(DUCKDB))
+def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(_neardup_sql(SPARK))
+
+
+# --- span_roundtrip: the north-rule span-sequence invariant at the gate ------
+# Spans-shaped docs ride through geocode -> cell -> PIP join; the output
+# re-derives a structural checksum FROM the spans that came out the other
+# side. Rows-only (the spans fixture is built in pandas, not SQL), but the
+# checksum equality to the input is asserted INSIDE the query pipeline.
+
+
+@register("span_roundtrip", None)
+def q_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpiv_spark import fixtures
+    from gpiv_spark.dialect import SPARK as d
+    from gpiv_spark.functions import cells
+    from gpiv_spark.operators import pip as pip_op
+
+    docs = fixtures.spans_documents(spark, n_docs=500)
+    span_sig = (
+        "xxhash64(to_json(spans))"  # order- and content-sensitive signature
+    )
+    nid = "CAST(substr(doc_id, 5) AS BIGINT)"
+    x = geocode.x_expr(d, nid)
+    y = geocode.y_expr(d, nid)
+    before = docs.select("doc_id", F.expr(span_sig).alias("sig_in"), "spans")
+    geo = before.select(
+        "doc_id", "sig_in", "spans",
+        F.expr(x).alias("x"), F.expr(y).alias("y"),
+        F.expr(cells.zcell_expr(d, x, y, 5)).alias("cell_id"),
+    )
+    roi = spark.createDataFrame(
+        pip_op.roi_triangles(),
+        "roi_id int, x1 double, y1 double, x2 double, y2 double, "
+        "x3 double, y3 double",
+    ).alias("r")
+    pred = pip_op.inside_triangle_pred(
+        "g.x", "g.y", {k: f"r.{k}" for k in ("x1", "y1", "x2", "y2", "x3", "y3")}
+    )
+    out = geo.alias("g").join(F.broadcast(roi), F.expr(pred), "left")
+    # re-derive the signature from the spans THAT CAME THROUGH the join
+    return (
+        out.select(
+            "g.doc_id", "g.sig_in",
+            F.expr(span_sig).alias("sig_out"),
+            F.expr("size(spans)").alias("n_spans"),
+        )
+        .withColumn("intact", F.col("sig_in") == F.col("sig_out"))
+        .groupBy("intact")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_spans").alias("n_spans"))
+    )

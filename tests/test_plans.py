@@ -1,0 +1,121 @@
+"""Physical-plan assertions: pushdown, pruning, broadcast, codegen.
+
+The 100 TB contract is about plans, not just results: filters must
+reach the parquet scan, projections must prune columns, small sides
+must broadcast, and scalar pipelines must stay inside whole-stage
+codegen. These tests pin those properties so a refactor that silently
+de-optimizes a plan fails CI.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from gpiv_spark.dialect import SPARK as d
+from gpiv_spark.functions import cells, geocode
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df, mode="formatted"):
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_filter_and_projection_pushed_to_parquet(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter("l_quantity > 45.0")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_quantity" in plan
+    # column pruning: the scan reads 2 columns, not all 11
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1][:300]
+
+
+def test_geocode_cell_pipeline_is_codegen(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    x = geocode.x_expr(d, "doc_id")
+    y = geocode.y_expr(d, "doc_id")
+    q = docs.select(
+        F.expr(cells.zcell_expr(d, x, y, 6)).alias("cell_id")
+    ).groupBy("cell_id").count()
+    q.collect()  # finalize the adaptive plan so codegen markers appear
+    plan = _plan(q, "simple")
+    # the generated-expression projection runs inside whole-stage codegen
+    assert "*(" in plan, plan
+    # and the doc scan prunes to the single needed column
+    full = _plan(q)
+    assert "ReadSchema" in full
+    assert "text" not in full.split("ReadSchema")[1][:200]
+
+
+def test_pip_join_broadcasts_roi_side(spark):
+    from gpiv_spark.operators import pip as pip_op
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        F.expr(geocode.x_expr(d, "doc_id")).alias("x"),
+        F.expr(geocode.y_expr(d, "doc_id")).alias("y"),
+    )
+    roi = spark.createDataFrame(
+        pip_op.roi_triangles(),
+        "roi_id int, x1 double, y1 double, x2 double, y2 double, "
+        "x3 double, y3 double",
+    ).alias("r")
+    pred = pip_op.inside_triangle_pred(
+        "g.x", "g.y", {k: f"r.{k}" for k in ("x1", "y1", "x2", "y2", "x3", "y3")}
+    )
+    q = docs.alias("g").join(F.broadcast(roi), F.expr(pred), "left")
+    plan = _plan(q, "simple")
+    assert "BroadcastNestedLoopJoin" in plan  # 32-row ROI side broadcast
+    assert "BroadcastExchange" in plan
+
+
+def test_knn_broadcast_and_single_shuffle(spark):
+    from gpiv_spark.operators import knn as knn_op
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        F.expr(geocode.x_expr(d, "doc_id")).alias("x"),
+        F.expr(geocode.y_expr(d, "doc_id")).alias("y"),
+    )
+    adf = spark.createDataFrame(knn_op.anchors(), "anchor_id int, ax double, ay double")
+    q = knn_op.knn_bruteforce(docs, adf, k=3)
+    plan = _plan(q, "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # exactly one exchange: the Window partitionBy(doc_id)
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 1, plan
+
+
+def test_propagate_probe_is_narrow(spark):
+    """Semi-join reduction: the containment probe must not carry the
+    18 TPU columns; they join only after the per-doc winner is picked."""
+    from gpiv_spark.operators.tin import build_triangles, propagate_at
+
+    pts = spark.range(2000).select(F.col("id").alias("pid"))
+    px = geocode.xq_expr(d, "pid")
+    py = geocode.yq_expr(d, "pid")
+    points = pts.select(
+        F.expr(px).alias("x"), F.expr(py).alias("y"),
+        F.lit(1.0).alias("z"),
+        F.lit(0.1).alias("var_x"), F.lit(0.1).alias("var_y"),
+        F.lit(0.1).alias("var_z"),
+        F.lit(0.0).alias("cov_xy"), F.lit(0.0).alias("cov_xz"),
+        F.lit(0.0).alias("cov_yz"),
+    )
+    tris = build_triangles(spark, points, cell_res=3, halo_m=12.0)
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.expr(geocode.x_expr(d, "id")).alias("x"),
+        F.expr(geocode.y_expr(d, "id")).alias("y"),
+    )
+    q = propagate_at(docs, tris, index_res=7, centroid=(0.0, 0.0, 0.0))
+    plan = _plan(q)
+    # the probe-side FlatMapGroupsInPandas feeds a projection of exactly
+    # the narrow columns; var_x_1 etc. appear only once (payload join side)
+    probe_section = plan.split("min(tri_id")[0]
+    assert "var_x_1" not in probe_section.split("Project")[-1]
