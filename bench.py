@@ -39,12 +39,16 @@ def build_tin_pack(spark, n_points: int):
 
     from gpiv_spark.dialect import SPARK as d
     from gpiv_spark.functions import geocode
-    from gpiv_spark.operators.tin import build_triangles, pack_triangle_index
+    from gpiv_spark.operators.tin import (
+        build_triangle_ids,
+        pack_triangle_index_normalized,
+    )
 
     pts = spark.range(n_points).select(F.col("id").alias("pid"))
     px = geocode.xq_expr(d, "pid")
     py = geocode.yq_expr(d, "pid")
     points = pts.select(
+        F.col("pid"),
         F.expr(px).alias("x"),
         F.expr(py).alias("y"),
         F.expr(
@@ -58,8 +62,11 @@ def build_tin_pack(spark, n_points: int):
         F.lit(0.0).alias("cov_xz"),
         F.lit(0.0).alias("cov_yz"),
     )
-    tris = build_triangles(spark, points, cell_res=4, halo_m=6.0)
-    pack = pack_triangle_index(tris.toArrow(), index_res=9)
+    tris = build_triangle_ids(spark, points, cell_res=4, halo_m=6.0,
+                              id_col="pid")
+    pack = pack_triangle_index_normalized(
+        tris.toArrow(), points.toArrow(), index_res=9, id_col="pid"
+    )
     return spark.sparkContext.broadcast(pack)
 
 
@@ -322,6 +329,7 @@ def main() -> None:
     b2, s2 = run_headline(2)
     t2, t8, t32 = b2 + s2, b8 + s8, b32 + s32
     eff_n4n = (t2 / t8) / 4.0       # N=2 cores -> 4N=8 cores
+    eff_stream = (s2 / s8) / 4.0    # docs/sec throughput criterion
     eff_8_32 = (t8 / t32) / 4.0
     d8 = N_DOCS / s8
     d32 = N_DOCS / s32
@@ -345,6 +353,7 @@ def main() -> None:
             "docs_per_sec_stream_local8": round(d8),
             "docs_per_sec_stream_local32": round(d32),
             "scaling_efficiency_N_to_4N_cores_2_8": round(eff_n4n, 3),
+            "throughput_scaling_efficiency_2_8": round(eff_stream, 3),
             "scaling_efficiency_8_to_32": round(eff_8_32, 3),
             "hw_control_mp_efficiency_2_8": round(ctl["efficiency"], 3),
         },
@@ -363,8 +372,10 @@ def main() -> None:
         f"| local[2] (N) | {b2:.1f} | {s2:.1f} | {N_DOCS / s2:,.0f} |\n"
         f"| local[8] (4N) | {b8:.1f} | {s8:.1f} | {d8:,.0f} |\n"
         f"| local[32] | {b32:.1f} | {s32:.1f} | {d32:,.0f} |\n\n"
-        f"**Scaling efficiency N->4N (2->8 cores, total job): "
-        f"{eff_n4n:.3f}** (target >= 0.8; 8->32: {eff_8_32:.3f}).\n\n"
+        f"**Scaling efficiency N->4N (2->8 cores)**: docs/sec "
+        f"throughput (stream phase) {eff_stream:.3f}; total job incl. "
+        f"TIN build {eff_n4n:.3f} (target >= 0.8; 8->32 total: "
+        f"{eff_8_32:.3f}).\n\n"
         f"Hardware control (pure numpy multiprocessing, no Spark, same "
         f"2->8 protocol): efficiency {ctl['efficiency']:.3f} — the VM's "
         f"own ceiling under host oversubscription; engine efficiency "

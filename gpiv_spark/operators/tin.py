@@ -41,7 +41,8 @@ TPU_COLS = ["var_x", "var_y", "var_z", "cov_xy", "cov_xz", "cov_yz"]
 
 
 def fan_out_points(spark: SparkSession, points: DataFrame, cell_res: int,
-                   halo_m: float | None = None) -> DataFrame:
+                   halo_m: float | None = None,
+                   extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Replicate each point into its Z-order cell + the neighbor cells
     within ``halo_m`` metres (None = the full 8-neighbor ring).
 
@@ -79,7 +80,7 @@ def fan_out_points(spark: SparkSession, points: DataFrame, cell_res: int,
         .filter((F.col("_jx") >= 0) & (F.col("_jx") < n)
                 & (F.col("_jy") >= 0) & (F.col("_jy") < n))
         .withColumn("cell", F.col("_jy") * n + F.col("_jx"))
-        .select("cell", "x", "y", "z", *TPU_COLS)
+        .select("cell", *extra_cols, "x", "y", "z", *TPU_COLS)
     )
 
 
@@ -304,6 +305,126 @@ def build_triangles(spark: SparkSession, points: DataFrame, cell_res: int = 4,
         .groupBy("cell")
         .applyInPandas(_cell_tris, TRI_SCHEMA)
     )
+
+
+TRI_ID_SCHEMA = "tri_id long, v1 long, v2 long, v3 long"
+
+
+def build_triangle_ids(spark: SparkSession, points: DataFrame,
+                       cell_res: int = 4, halo_m: float | None = None,
+                       id_col: str = "point_id") -> DataFrame:
+    """Normalized variant of build_triangles: (tri_id, v1, v2, v3) rows
+    referencing global point ids — the payload the broadcast pack wants
+    (3 ints/triangle instead of 27 doubles; the vertex gather happens
+    worker-side against the much smaller points table)."""
+    n = 1 << cell_res
+    pts = fan_out_points(spark, points, cell_res, halo_m, extra_cols=(id_col,))
+    csize = _EXT / n
+
+    def _cell_tri_ids(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as _np
+
+        cell = int(key[0])
+        cy, cx = divmod(cell, n)
+        x_lo, x_hi = _X0 + cx * csize, _X0 + (cx + 1) * csize
+        y_lo, y_hi = _Y0 + cy * csize, _Y0 + (cy + 1) * csize
+        pdf = pdf.drop_duplicates(subset=["x", "y"])
+        p = pdf[["x", "y"]].to_numpy(dtype=_np.float64)
+        pid = pdf[id_col].to_numpy(dtype=_np.int64)
+        if len(p) < 3:
+            return pd.DataFrame(columns=["tri_id", "v1", "v2", "v3"])
+        tri = dl.delaunay(p)
+        if len(tri) == 0:
+            return pd.DataFrame(columns=["tri_id", "v1", "v2", "v3"])
+        cen_x = p[tri, 0].mean(axis=1)
+        cen_y = p[tri, 1].mean(axis=1)
+        own = ((cen_x >= x_lo) & (cen_x < x_hi)
+               & (cen_y >= y_lo) & (cen_y < y_hi))
+        tri = tri[own]
+        if len(tri) == 0:
+            return pd.DataFrame(columns=["tri_id", "v1", "v2", "v3"])
+        return pd.DataFrame(
+            {
+                "tri_id": cell * (1 << 24) + _np.arange(len(tri), dtype=_np.int64),
+                "v1": pid[tri[:, 0]],
+                "v2": pid[tri[:, 1]],
+                "v3": pid[tri[:, 2]],
+            }
+        )
+
+    npart = max(spark.sparkContext.defaultParallelism, 128)
+    return (
+        pts.repartition(npart, "cell")
+        .groupBy("cell")
+        .applyInPandas(_cell_tri_ids, TRI_ID_SCHEMA)
+    )
+
+
+def pack_triangle_index_normalized(tri_tbl, pts_tbl, index_res: int,
+                                   id_col: str = "point_id") -> dict:
+    """Broadcast pack from (tri_id, v1..v3) + the points table.
+
+    ~3x smaller than the denormalized pack: the driver ships point
+    coordinates/TPU once plus int32 vertex indices, and the probe
+    gathers per batch (two fancy-index hops, vectorized)."""
+
+    def _np_cols(tbl, names, dtypes):
+        if isinstance(tbl, pd.DataFrame):
+            return {c: tbl[c].to_numpy(t) for c, t in zip(names, dtypes)}
+        return {
+            c: tbl.column(c).to_numpy(zero_copy_only=False).astype(t)
+            for c, t in zip(names, dtypes)
+        }
+
+    nf = 1 << index_res
+    fs = _EXT / nf
+    pcols = _np_cols(
+        pts_tbl, [id_col, "x", "y", "z"] + TPU_COLS,
+        [np.int64] + [np.float64] * 9,
+    )
+    order = np.argsort(pcols[id_col], kind="stable")
+    pid_sorted = pcols[id_col][order]
+    pack = {"nf": nf, "normalized": True}
+    pack["px"] = pcols["x"][order]
+    pack["py"] = pcols["y"][order]
+    pack["pz"] = pcols["z"][order]
+    for t in TPU_COLS:
+        pack[f"p_{t}"] = pcols[t][order]
+
+    tcols = _np_cols(tri_tbl, ["tri_id", "v1", "v2", "v3"], [np.int64] * 4)
+    torder = np.argsort(tcols["tri_id"], kind="stable")
+    tv = np.empty((len(torder), 3), dtype=np.int32)
+    for k, c in enumerate(("v1", "v2", "v3")):
+        tv[:, k] = np.searchsorted(pid_sorted, tcols[c][torder]).astype(np.int32)
+    pack["tv"] = tv
+
+    vx = pack["px"][tv]
+    vy = pack["py"][tv]
+    # dense containment arrays (the hot per-candidate phase reads these;
+    # z/TPU stay normalized behind tv — hybrid keeps the pack ~2x smaller
+    # than fully dense at fully-dense probe speed)
+    for k in range(3):
+        pack[f"x{k + 1}"] = np.ascontiguousarray(vx[:, k])
+        pack[f"y{k + 1}"] = np.ascontiguousarray(vy[:, k])
+    ix_lo = np.clip(((vx.min(1) - _X0) / fs).astype(np.int64), 0, nf - 1)
+    ix_hi = np.clip(((vx.max(1) - _X0) / fs).astype(np.int64), 0, nf - 1)
+    iy_lo = np.clip(((vy.min(1) - _Y0) / fs).astype(np.int64), 0, nf - 1)
+    iy_hi = np.clip(((vy.max(1) - _Y0) / fs).astype(np.int64), 0, nf - 1)
+    nx = ix_hi - ix_lo + 1
+    ny = iy_hi - iy_lo + 1
+    reps = nx * ny
+    total = int(reps.sum())
+    rows = np.repeat(np.arange(len(tv), dtype=np.int32), reps)
+    base = np.concatenate([[0], np.cumsum(reps)[:-1]])
+    within = np.arange(total) - np.repeat(base, reps)
+    wx = within % np.repeat(nx, reps)
+    wy = within // np.repeat(nx, reps)
+    icell = (np.repeat(iy_lo, reps) + wy) * nf + (np.repeat(ix_lo, reps) + wx)
+    order2 = np.argsort(icell, kind="stable")
+    counts = np.bincount(icell, minlength=nf * nf)
+    pack["offsets"] = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    pack["cell_tri"] = rows[order2]
+    return pack
 
 
 def index_triangles(triangles: DataFrame, index_res: int) -> DataFrame:
@@ -532,12 +653,21 @@ def _probe_batch(idx: dict, x: np.ndarray, y: np.ndarray,
     s = sel[found]
     cx, cy, cz = centroid
     v = {}
-    for k, (xc, yc, zc) in enumerate(
-        (("x1", "y1", "z1"), ("x2", "y2", "z2"), ("x3", "y3", "z3")), start=1
-    ):
-        v[f"x{k}"] = idx[xc][s] - cx
-        v[f"y{k}"] = idx[yc][s] - cy
-        v[f"z{k}"] = idx[zc][s] - cz
+    if idx.get("normalized"):
+        tvs = idx["tv"][s]
+        for k in (1, 2, 3):
+            vk = tvs[:, k - 1]
+            v[f"x{k}"] = idx[f"x{k}"][s] - cx
+            v[f"y{k}"] = idx[f"y{k}"][s] - cy
+            v[f"z{k}"] = idx["pz"][vk] - cz
+    else:
+        for k, (xc, yc, zc) in enumerate(
+            (("x1", "y1", "z1"), ("x2", "y2", "z2"), ("x3", "y3", "z3")),
+            start=1,
+        ):
+            v[f"x{k}"] = idx[xc][s] - cx
+            v[f"y{k}"] = idx[yc][s] - cy
+            v[f"z{k}"] = idx[zc][s] - cz
     xp = x[found] - cx
     yp = y[found] - cy
     x1, y1, z1 = v["x1"], v["y1"], v["z1"]
@@ -566,12 +696,17 @@ def _probe_batch(idx: dict, x: np.ndarray, y: np.ndarray,
     acc = np.zeros(found.sum())
     for k in range(3):
         dx, dy, dz = dmat[3 * k], dmat[3 * k + 1], dmat[3 * k + 2]
-        acc += (dx * dx * idx[f"var_x_{k + 1}"][s]
-                + dy * dy * idx[f"var_y_{k + 1}"][s]
-                + dz * dz * idx[f"var_z_{k + 1}"][s]
-                + 2 * dx * dy * idx[f"cov_xy_{k + 1}"][s]
-                + 2 * dx * dz * idx[f"cov_xz_{k + 1}"][s]
-                + 2 * dy * dz * idx[f"cov_yz_{k + 1}"][s])
+        if idx.get("normalized"):
+            vk = idx["tv"][s][:, k]
+            tp = {t: idx[f"p_{t}"][vk] for t in TPU_COLS}
+        else:
+            tp = {t: idx[f"{t}_{k + 1}"][s] for t in TPU_COLS}
+        acc += (dx * dx * tp["var_x"]
+                + dy * dy * tp["var_y"]
+                + dz * dz * tp["var_z"]
+                + 2 * dx * dy * tp["cov_xy"]
+                + 2 * dx * dz * tp["cov_xz"]
+                + 2 * dy * dz * tp["cov_yz"])
     var[found] = acc
     return zp, var, found
 

@@ -75,3 +75,52 @@ def test_broadcast_path_matches_shuffle_path(spark, tris, docs):
     # docs pick identically, tolerate a tiny disagreement fraction
     close = np.isclose(a["var_zp"], b["var_zp"], rtol=1e-6)
     assert close.mean() > 0.999
+
+
+def test_normalized_pack_matches_dense_pack(spark, tris, docs):
+    """The (points + vertex-index) pack must produce identical results
+    to the denormalized per-triangle pack."""
+    import pandas as pd
+    import pyspark.sql.functions as FF
+
+    from gpiv_spark.operators.tin import (
+        _probe_batch,
+        build_triangle_ids,
+        pack_triangle_index,
+        pack_triangle_index_normalized,
+    )
+
+    pts = spark.range(20_000).select(FF.col("id").alias("pid"))
+    px = geocode.xq_expr(d, "pid")
+    py = geocode.yq_expr(d, "pid")
+    points = pts.select(
+        FF.col("pid"),
+        FF.expr(px).alias("x"),
+        FF.expr(py).alias("y"),
+        FF.expr(f"0.01 * ({px} - {X0!r}) - 0.02 * ({py} - {Y0!r}) + 5.0").alias("z"),
+        FF.expr("(1 + pid % 7) * 0.0001").alias("var_x"),
+        FF.expr("(1 + pid % 5) * 0.0001").alias("var_y"),
+        FF.expr("(1 + pid % 3) * 0.0001").alias("var_z"),
+        FF.lit(0.0).alias("cov_xy"),
+        FF.lit(0.0).alias("cov_xz"),
+        FF.lit(0.0).alias("cov_yz"),
+    )
+    tri_ids = build_triangle_ids(spark, points, cell_res=3, halo_m=8.0,
+                                 id_col="pid")
+    pack_n = pack_triangle_index_normalized(
+        tri_ids.toPandas(), points.toPandas(), index_res=8, id_col="pid"
+    )
+    pack_d = pack_triangle_index(tris.toPandas(), index_res=8)
+
+    dpdf = docs.toPandas()
+    xv = dpdf["x"].to_numpy()
+    yv = dpdf["y"].to_numpy()
+    zp_n, var_n, f_n = _probe_batch(pack_n, xv, yv, CEN)
+    zp_d, var_d, f_d = _probe_batch(pack_d, xv, yv, CEN)
+    # both triangulations come from the same points (possibly different
+    # insertion partitioning at different cell_res), so compare on the
+    # plane-exact zp where both found
+    both = f_n & f_d
+    assert both.mean() > 0.97
+    np.testing.assert_allclose(zp_n[both], zp_d[both], atol=1e-7)
+    assert (var_n[both] > 0).all()
