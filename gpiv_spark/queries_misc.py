@@ -462,3 +462,43 @@ def q_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("intact")
         .agg(F.count("*").alias("n_docs"), F.sum("n_spans").alias("n_spans"))
     )
+
+
+# --- tile_rollup: hierarchical aggregation (ROLLUP) over tile grid ----------
+# Multi-level tile summaries (per-tile, per-tile-row, grand total) in one
+# pass — the cube/rollup pattern for dashboard-style consumers.
+
+
+def _rollup_sql(d) -> str:
+    g = {
+        "px_row": None, "px_col": None,
+    }
+    from gpiv_spark.functions import geocode as _gc
+    from gpiv_spark.operators import tiling as _tl
+
+    x = _gc.x_expr(d, "doc_id")
+    y = _gc.y_expr(d, "doc_id")
+    cfg = _tl.PivConfig()
+    tr = _tl.tile_k_expr(d, "px_row", cfg)
+    tc = _tl.tile_k_expr(d, "px_col", cfg)
+    return f"""
+    WITH geo AS (
+      SELECT doc_id, {_gc.px_row_expr(d, y)} AS px_row,
+             {_gc.px_col_expr(d, x)} AS px_col
+      FROM documents
+    ),
+    t AS (
+      SELECT CAST({tr} AS BIGINT) AS tile_r, CAST({tc} AS BIGINT) AS tile_c,
+             doc_id
+      FROM geo
+    )
+    SELECT tile_r, tile_c, count(*) AS n_docs,
+           CAST(grouping(tile_r) AS INT) AS g_r,
+           CAST(grouping(tile_c) AS INT) AS g_c
+    FROM t GROUP BY ROLLUP (tile_r, tile_c)
+    """
+
+
+@register("tile_rollup", _rollup_sql(DUCKDB))
+def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_both(spark, sf_dir, _rollup_sql(SPARK))
