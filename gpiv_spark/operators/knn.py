@@ -57,7 +57,7 @@ def knn_bruteforce(points: DataFrame, anchor_df: DataFrame, k: int,
     )
     w = Window.partitionBy(id_col).orderBy(F.col("dist_sq").asc(), F.col("anchor_id").asc())
     return (
-        joined.withColumn("rnk", F.row_number().over(w))
+        joined.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
         .select(id_col, "anchor_id", "rnk", "dist_sq")
     )

@@ -163,7 +163,7 @@ def _kring_sql(d) -> str:
         ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
        AND a.doc_id <> b.doc_id
     )
-    SELECT doc_id, nbr, rnk, dist_sq FROM (
+    SELECT doc_id, nbr, CAST(rnk AS BIGINT) AS rnk, dist_sq FROM (
       SELECT doc_id, nbr, dist_sq,
              row_number() OVER (PARTITION BY doc_id ORDER BY dist_sq, nbr) AS rnk
       FROM cand
@@ -355,7 +355,7 @@ def _ivf_sql(d) -> str:
       SELECT vec_id, embedding, CAST(({assign}) AS BIGINT) AS ivf_list
       FROM embeddings
     )
-    SELECT query_id, vec_id, rnk, round(dot, 6) AS dot FROM (
+    SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rnk, round(dot, 6) AS dot FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {dot} AS dot,
              row_number() OVER (PARTITION BY q.vec_id ORDER BY {dot} DESC, c.vec_id)
                AS rnk
@@ -492,7 +492,8 @@ def _rollup_sql(d) -> str:
              doc_id
       FROM geo
     )
-    SELECT tile_r, tile_c, count(*) AS n_docs,
+    SELECT coalesce(tile_r, -999) AS tile_r, coalesce(tile_c, -999) AS tile_c,
+           count(*) AS n_docs,
            CAST(grouping(tile_r) AS INT) AS g_r,
            CAST(grouping(tile_c) AS INT) AS g_c
     FROM t GROUP BY ROLLUP (tile_r, tile_c)

@@ -242,7 +242,7 @@ def _topk_sql(d) -> str:
         table = "embeddings"
     cos = f"({dot} / ({nrm('q.embedding')} * {nrm('c.embedding')}))"
     return f"""
-    SELECT query_id, vec_id, rnk, round(cosine, 6) AS cosine FROM (
+    SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rnk, round(cosine, 6) AS cosine FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
              {cos} AS cosine,
              row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id) AS rnk
