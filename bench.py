@@ -3,10 +3,19 @@
 Runs (a) a representative subset of the oracle-checked queries at
 $SPARK_GRAFT_SF_DIR, (b) the headline north-rule pipeline —
 documents -> geocode -> broadcast PIP join -> tile assignment ->
-per-cell TIN error propagation (docs/sec) — at TWO parallelism
-levels (local[8] = N, local[32] = 4N) to evidence the >=0.8 scaling
-efficiency criterion (no real cluster in this sandbox; see
-BASELINE.md protocol).
+per-cell TIN error propagation (docs/sec) — at TWO cluster sizes
+(N=2 and 4N=8 CPUs) to evidence the >=0.8 scaling efficiency
+criterion (no real cluster in this sandbox; see BASELINE.md).
+
+Measurement protocol (round 2): each headline level runs in a child
+process whose CPU AFFINITY is pinned to exactly N cores
+(sched_setaffinity before the JVM starts). Plain local[N] only caps
+JVM task slots — Python UDF workers, GC, and Arrow IPC threads spill
+onto extra host cores, which inflates the small configuration's
+throughput and drags the measured efficiency below what N real
+cores deliver. Pinning makes "N cores" mean N cores, exactly like an
+N-core executor. The pure-numpy multiprocessing control runs under
+the same pinning.
 
 Prints ONE JSON line and refreshes BENCH.md.
 """
@@ -15,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -33,21 +43,16 @@ BENCH_QUERIES = [
 ]
 
 
-def build_tin_pack(spark, n_points: int):
-    """Phase A: distributed Delaunay -> packed broadcast triangle index."""
+def bench_points(spark, n_points: int):
     from pyspark.sql import functions as F
 
     from gpiv_spark.dialect import SPARK as d
     from gpiv_spark.functions import geocode
-    from gpiv_spark.operators.tin import (
-        build_triangle_ids,
-        pack_triangle_index_normalized,
-    )
 
     pts = spark.range(n_points).select(F.col("id").alias("pid"))
     px = geocode.xq_expr(d, "pid")
     py = geocode.yq_expr(d, "pid")
-    points = pts.select(
+    return pts.select(
         F.col("pid"),
         F.expr(px).alias("x"),
         F.expr(py).alias("y"),
@@ -62,16 +67,25 @@ def build_tin_pack(spark, n_points: int):
         F.lit(0.0).alias("cov_xz"),
         F.lit(0.0).alias("cov_yz"),
     )
-    tris = build_triangle_ids(spark, points, cell_res=4, halo_m=6.0,
-                              id_col="pid")
-    pack = pack_triangle_index_normalized(
-        tris.toArrow(), points.toArrow(), index_res=9, id_col="pid"
+
+
+def build_tin_pack(spark, n_points: int):
+    """Phase A: distributed Delaunay + per-cell pack blobs -> merged
+    broadcast index. No driver-side toArrow of the triangle/point
+    tables — the driver only concatenates worker-built shards."""
+    from gpiv_spark.operators.tin import build_broadcast_pack
+
+    return build_broadcast_pack(
+        spark, bench_points(spark, n_points),
+        cell_res=4, index_res=9, halo_m=6.0, id_col="pid",
     )
-    return spark.sparkContext.broadcast(pack)
 
 
-def doc_stream(spark, n_docs: int, bc, n_tasks: int = 128):
-    """Phase B: the shuffle-free doc pipeline against the broadcast index.
+def doc_stream_df(spark, n_docs: int, bc, n_tasks: int = 64):
+    """Phase B plan: the shuffle-free doc pipeline against the broadcast
+    index, as an unexecuted 3-row aggregate DataFrame (build once, time
+    repeated executions — plan analysis/codegen amortizes like it would
+    on a real cluster).
 
     n_tasks is fixed (not cores-derived) so task granularity — and thus
     straggler quantization — is identical at every parallelism level."""
@@ -133,7 +147,11 @@ def doc_stream(spark, n_docs: int, bc, n_tasks: int = 128):
         F.count("*").alias("n"),
         F.avg("var_zp").alias("mean_var"),
         F.avg("zp").alias("mean_zp"),
-    ).collect()[0]
+    )
+
+
+def doc_stream(spark, n_docs: int, bc, n_tasks: int = 64):
+    return doc_stream_df(spark, n_docs, bc, n_tasks).collect()[0]
 
 
 def doc_pipeline(spark, n_docs: int, n_points: int):
@@ -210,32 +228,54 @@ def doc_pipeline(spark, n_docs: int, n_points: int):
     return row
 
 
-def run_headline(cpus: int) -> tuple[float, float]:
-    """(t_build, t_stream) at local[cpus], best-of-2 warm runs each."""
+def headline_child(cpus: int, n_docs: int, n_points: int) -> None:
+    """Child-process body: pin affinity to exactly `cpus` cores, run the
+    headline build+stream, print one JSON line. Affinity is inherited by
+    the JVM and every Python UDF worker, so 'N cores' means N cores."""
+    os.sched_setaffinity(0, set(range(cpus)))
+
     from gpiv_spark.session import get_spark
 
-    from pyspark.sql import SparkSession
-
     spark = get_spark(f"bench-{cpus}", cpus=cpus, shuffle_partitions=2 * cpus)
-    try:
-        # warm JVM JIT / python workers / codegen cache at 1/8 scale
-        bc_w = build_tin_pack(spark, N_POINTS // 8)
-        doc_stream(spark, N_DOCS // 8, bc_w)
-        bc_w.destroy()
+    # warm JVM JIT / python workers / codegen cache at 1/8 scale
+    bc_w = build_tin_pack(spark, n_points // 8)
+    doc_stream(spark, n_docs // 8, bc_w)
+    bc_w.destroy()
+    t0 = time.time()
+    bc = build_tin_pack(spark, n_points)
+    t_build = time.time() - t0
+    t_stream = float("inf")
+    for _ in range(2):  # 1st run warms worker-side broadcast unpickle
+        # fresh DataFrame per run: re-collecting one DF object would
+        # reuse AQE's already-materialized stages (measured 0.03 s).
+        # Plan analysis re-runs (~0.3 s); codegen/JIT stay cached.
         t0 = time.time()
-        bc = build_tin_pack(spark, N_POINTS)
-        t_build = time.time() - t0
-        t_stream = float("inf")
-        for _ in range(2):  # 1st run warms worker-side broadcast unpickle
-            t0 = time.time()
-            row = doc_stream(spark, N_DOCS, bc)
-            t_stream = min(t_stream, time.time() - t0)
-            # hull-edge docs can drop out of the containment join
-            assert row["n"] > 0.98 * N_DOCS, row
-        return t_build, t_stream
-    finally:
-        spark.stop()
-        SparkSession._instantiatedSession = None
+        row = doc_stream(spark, n_docs, bc)
+        t_stream = min(t_stream, time.time() - t0)
+        # hull-edge docs can drop out of the containment join
+        assert row["n"] > 0.98 * n_docs, row
+    print(json.dumps({"cpus": cpus, "t_build": round(t_build, 2),
+                      "t_stream": round(t_stream, 2)}))
+    spark.stop()
+
+
+def run_headline(cpus: int, n_docs: int = N_DOCS,
+                 n_points: int = N_POINTS) -> tuple[float, float]:
+    """(t_build, t_stream) measured in a CPU-pinned child process."""
+    env = dict(os.environ, BENCH_DOCS=str(n_docs), BENCH_POINTS=str(n_points))
+    out = subprocess.run(
+        [sys.executable, __file__, "--headline", str(cpus)],
+        capture_output=True, text=True, env=env, check=False,
+    )
+    line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+    try:
+        r = json.loads(line)
+    except (json.JSONDecodeError, IndexError):
+        raise RuntimeError(
+            f"headline child (cpus={cpus}) failed:\n{out.stdout[-2000:]}\n"
+            f"{out.stderr[-4000:]}"
+        )
+    return r["t_build"], r["t_stream"]
 
 
 def reference_workload(spark) -> dict:
@@ -289,16 +329,22 @@ def _control_work(seed: int) -> float:
 
 def control_efficiency(n_lo: int = 2, n_hi: int = 8, tasks: int = 64) -> dict:
     """VM scaling ceiling: identical numpy work via multiprocessing only
-    (no Spark). If the box itself cannot scale, no engine can."""
+    (no Spark), under the same CPU pinning as the engine runs. If the
+    box itself cannot scale, no engine can."""
     import multiprocessing as mp
 
+    full = os.sched_getaffinity(0)
     out = {}
     for procs in (n_lo, n_hi):
-        with mp.Pool(procs) as pool:
-            pool.map(_control_work, range(procs))  # warm
-            t0 = time.time()
-            pool.map(_control_work, range(tasks))
-            out[procs] = time.time() - t0
+        os.sched_setaffinity(0, set(range(procs)))
+        try:
+            with mp.Pool(procs) as pool:
+                pool.map(_control_work, range(procs))  # warm
+                t0 = time.time()
+                pool.map(_control_work, range(tasks))
+                out[procs] = time.time() - t0
+        finally:
+            os.sched_setaffinity(0, full)
     out["efficiency"] = (out[n_lo] / out[n_hi]) / (n_hi / n_lo)
     return out
 
@@ -324,17 +370,23 @@ def main() -> None:
     spark.stop()
     from pyspark.sql import SparkSession
     SparkSession._instantiatedSession = None
-    b8, s8 = run_headline(8)
-    b32, s32 = run_headline(32)
+    # N -> 4N (the graded pair): same 30M-doc input at 2 and 8 pinned cores
     b2, s2 = run_headline(2)
-    t2, t8, t32 = b2 + s2, b8 + s8, b32 + s32
+    b8, s8 = run_headline(8)
+    # 8 -> 32 evidence pair: same 4x input at both levels, so the 32-core
+    # point measures compute, not the fixed per-job floor (VERDICT r1 #3)
+    big_docs = 4 * N_DOCS
+    b8b, s8b = run_headline(8, n_docs=big_docs)
+    b32, s32 = run_headline(32, n_docs=big_docs)
+    t2, t8 = b2 + s2, b8 + s8
     eff_n4n = (t2 / t8) / 4.0       # N=2 cores -> 4N=8 cores
     eff_stream = (s2 / s8) / 4.0    # docs/sec throughput criterion
-    eff_8_32 = (t8 / t32) / 4.0
+    eff_8_32 = ((b8b + s8b) / (b32 + s32)) / 4.0
+    eff_8_32_stream = (s8b / s32) / 4.0
     d8 = N_DOCS / s8
-    d32 = N_DOCS / s32
+    d32 = big_docs / s32
 
-    total = round(sum(qtimes.values()) + t32, 3)
+    total = round(sum(qtimes.values()) + t8, 3)
     result = {
         "metric": "e2e_bench_sec",
         "value": total,
@@ -345,16 +397,20 @@ def main() -> None:
             "pipeline": "geocode+PIP+tile+TIN-Jacobian-error-propagation",
             "n_docs": N_DOCS,
             "n_points": N_POINTS,
+            "protocol": "CPU-affinity-pinned child process per level "
+                        "(N cores means N cores; python workers included)",
             "build_stream_sec": {
-                "local2": [round(b2, 2), round(s2, 2)],
-                "local8": [round(b8, 2), round(s8, 2)],
-                "local32": [round(b32, 2), round(s32, 2)],
+                "cores2": [round(b2, 2), round(s2, 2)],
+                "cores8": [round(b8, 2), round(s8, 2)],
+                "cores8_4x_docs": [round(b8b, 2), round(s8b, 2)],
+                "cores32_4x_docs": [round(b32, 2), round(s32, 2)],
             },
-            "docs_per_sec_stream_local8": round(d8),
-            "docs_per_sec_stream_local32": round(d32),
+            "docs_per_sec_stream_8cores": round(d8),
+            "docs_per_sec_stream_32cores": round(d32),
             "scaling_efficiency_N_to_4N_cores_2_8": round(eff_n4n, 3),
             "throughput_scaling_efficiency_2_8": round(eff_stream, 3),
             "scaling_efficiency_8_to_32": round(eff_8_32, 3),
+            "throughput_scaling_efficiency_8_32": round(eff_8_32_stream, 3),
             "hw_control_mp_efficiency_2_8": round(ctl["efficiency"], 3),
         },
         "reference_workload": ref,
@@ -362,25 +418,37 @@ def main() -> None:
     Path("BENCH.md").write_text(
         "# BENCH — gpiv_spark\n\n"
         f"- queries input: {SF_DIR}; headline input: {N_DOCS:,} synthetic "
-        f"docs / {N_POINTS:,} points (deterministic geocode)\n"
+        f"docs / {N_POINTS:,} points (deterministic geocode); the 8->32 "
+        f"pair uses {big_docs:,} docs so the 32-core point measures "
+        "compute, not the per-job floor\n"
         "- headline pipeline: documents -> geocode -> Z-order cells -> "
         "broadcast PIP join -> GPIV tile assignment -> broadcast-index "
         "TIN containment + Jacobian error propagation (E3), "
-        "shuffle-free doc path (mapInPandas probe)\n\n"
-        "| parallelism | TIN build (s) | doc stream (s) | docs/sec |\n"
-        "|---|---|---|---|\n"
-        f"| local[2] (N) | {b2:.1f} | {s2:.1f} | {N_DOCS / s2:,.0f} |\n"
-        f"| local[8] (4N) | {b8:.1f} | {s8:.1f} | {d8:,.0f} |\n"
-        f"| local[32] | {b32:.1f} | {s32:.1f} | {d32:,.0f} |\n\n"
-        f"**Scaling efficiency N->4N (2->8 cores)**: docs/sec "
-        f"throughput (stream phase) {eff_stream:.3f}; total job incl. "
-        f"TIN build {eff_n4n:.3f} (target >= 0.8; 8->32 total: "
-        f"{eff_8_32:.3f}).\n\n"
+        "shuffle-free doc path (mapInPandas probe); the TIN index is "
+        "built DISTRIBUTED (per-cell pack blobs, driver only "
+        "concatenates)\n"
+        "- protocol: each level runs in a child process with CPU "
+        "affinity pinned to exactly N cores before the JVM starts. "
+        "local[N] alone only caps JVM task slots; Python UDF workers "
+        "and JVM service threads spill onto extra host cores, which "
+        "inflates the small configuration and understates true N-core "
+        "scaling. Best-of-2 warm runs per stream measurement.\n\n"
+        "| cores (pinned) | docs | TIN build (s) | doc stream (s) | docs/sec |\n"
+        "|---|---|---|---|---|\n"
+        f"| 2 (N) | {N_DOCS:,} | {b2:.1f} | {s2:.1f} | {N_DOCS / s2:,.0f} |\n"
+        f"| 8 (4N) | {N_DOCS:,} | {b8:.1f} | {s8:.1f} | {d8:,.0f} |\n"
+        f"| 8 | {big_docs:,} | {b8b:.1f} | {s8b:.1f} | {big_docs / s8b:,.0f} |\n"
+        f"| 32 | {big_docs:,} | {b32:.1f} | {s32:.1f} | {d32:,.0f} |\n\n"
+        f"**Scaling efficiency N->4N (2->8 cores)**: docs/sec throughput "
+        f"(stream phase) **{eff_stream:.3f}**; total job incl. TIN build "
+        f"**{eff_n4n:.3f}** (target >= 0.8). 8->32 at 4x docs: stream "
+        f"{eff_8_32_stream:.3f}, total {eff_8_32:.3f}.\n\n"
         f"Hardware control (pure numpy multiprocessing, no Spark, same "
-        f"2->8 protocol): efficiency {ctl['efficiency']:.3f} — the VM's "
-        f"own ceiling under host oversubscription; engine efficiency "
-        f"should be read relative to it.\n\n"
-        "Caveat: this sandbox VM shows external load (loadavg ~4-6 while "
+        f"pinning and 2->8 protocol): efficiency {ctl['efficiency']:.3f} "
+        f"— the VM's own ceiling under host oversubscription and "
+        f"active-core frequency effects; engine efficiency should be "
+        f"read relative to it.\n\n"
+        "Caveat: this sandbox VM shows external load (loadavg 2-6 while "
         "idle) and run-to-run wall-time variance up to 2.5x; figures are "
         "best-of-2 warm runs. See BASELINE.md for the measurement "
         "protocol.\n\n"
@@ -398,4 +466,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--headline":
+        headline_child(int(sys.argv[2]), N_DOCS, N_POINTS)
+    else:
+        main()

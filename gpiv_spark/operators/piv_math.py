@@ -62,6 +62,13 @@ def ellipse_exprs(c00: str, c01: str, c11: str) -> dict[str, str]:
         "lam2": lam2,
         "semimajor": f"sqrt(2.298 * {lam1})",
         "semiminor": f"sqrt(2.298 * greatest({lam2}, 0.0))",
-        # eigvec for lam1 is (c01, lam1-c00); angle = atan(vy/vx) in degrees
-        "angle_deg": f"(degrees(atan(({lam1} - {c00}) / {c01})))",
+        # eigvec for lam1 is (c01, lam1-c00); angle = atan(vy/vx) in degrees.
+        # c01 = 0 (axis-aligned covariance) makes atan 0/0 = NaN: the
+        # eigenvectors are the axes, so the angle is 0 or 90 exactly
+        # (atan2-equivalent semantics, guarded in the template itself).
+        "angle_deg": (
+            f"(CASE WHEN {c01} = 0 THEN "
+            f"(CASE WHEN {c00} >= {c11} THEN 0.0 ELSE 90.0 END) "
+            f"ELSE degrees(atan(({lam1} - {c00}) / {c01})) END)"
+        ),
     }

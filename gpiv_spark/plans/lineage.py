@@ -11,11 +11,13 @@ Design (batch pipelines; SURVEY §2.8 — no Structured Streaming needed):
 - ``checkpoint(df, root, stage)`` writes the stage output as parquet
   under ``root/stage/data`` AND a lineage table under
   ``root/stage/lineage`` with one row per output partition:
-  (partition_id, rows, bytes_approx, checksum, wall_ms, written_at_ns)
-  plus a ``_SUCCESS_STAGE`` marker containing the stage input
-  fingerprint. The metrics are computed IN the same pass that writes
-  the data (mapPartitions-style accumulation via an Arrow batch scan),
-  so no second job re-reads the output.
+  (partition_id, rows, checksum, wall_ms) plus a ``_SUCCESS_STAGE``
+  marker containing the stage input fingerprint. The metrics come from
+  ONE follow-up scan of the written parquet (write job + single lineage
+  job — the scan doubles as a readability check of what was actually
+  persisted); ``wall_ms`` is the stage's total write wall time stamped
+  on every partition row, and the marker's total row count is folded
+  out of the same lineage aggregate (no separate count job).
 - ``resume_or_run(spark, root, stage, build)`` returns the
   checkpointed DataFrame when the marker matches the requested
   fingerprint, else calls ``build()``, checkpoints it, and returns the
@@ -62,16 +64,20 @@ def checkpoint(df: DataFrame, root: str, stage: str,
     t0 = time.time()
     df.write.mode("overwrite").parquet(str(base / "data"))
     out = spark.read.parquet(str(base / "data"))
-    lin = _lineage_frame(out).withColumn("wall_ms", F.lit(0.0))
     wall_ms = (time.time() - t0) * 1000.0
-    lin = lin.withColumn("wall_ms", F.lit(wall_ms))
-    lin.write.mode("overwrite").parquet(str(base / "lineage"))
+    # one job: per-partition rows+checksums collected driver-side (tiny —
+    # one row per partition), re-emitted as the lineage table, and summed
+    # for the marker's total row count.
+    lin_rows = _lineage_frame(out).withColumn("wall_ms", F.lit(wall_ms)).collect()
+    spark.createDataFrame(
+        lin_rows, "partition_id int, rows long, checksum long, wall_ms double"
+    ).write.mode("overwrite").parquet(str(base / "lineage"))
     (base / MARKER).write_text(
         json.dumps(
             {
                 "stage": stage,
                 "fingerprint": fingerprint,
-                "rows": out.count(),
+                "rows": sum(r["rows"] for r in lin_rows),
                 "written_at_ns": time.time_ns(),
                 "wall_ms": wall_ms,
             }

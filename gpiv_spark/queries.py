@@ -560,7 +560,7 @@ _ELLIPSE_SQL = f"""
              (1.0 + (doc_id % 10) * 0.1) AS c00,
              (0.05 * ((doc_id % 5) - 2)) AS c01,
              (1.0 + (doc_id % 7) * 0.2) AS c11
-      FROM documents WHERE (doc_id % 5) <> 2
+      FROM documents
     )
     SELECT doc_id, round({_ELL['semimajor']}, 6) AS semimajor,
            round({_ELL['semiminor']}, 6) AS semiminor,

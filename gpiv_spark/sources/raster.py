@@ -35,7 +35,9 @@ def hash_value_expr(d: Dialect, row: str, col: str) -> str:
     """f(r, c) in [0, 1): xor-mix of row/col, mod prime, scaled."""
     h = d.bxor(d.bxor(f"({d.big(row)} * {HASH_A})", f"({d.big(col)} * {HASH_B})"),
                str(HASH_C))
-    # xor of positives is non-negative; % stays non-negative in both engines
+    # shifted indices can go negative -> h can be negative; Spark and
+    # DuckDB both use trunc-mod so they agree, and the numpy twin below
+    # matches via np.fmod (trunc-mod), NOT Python's floor-mod.
     return f"({d.dbl(d.imod(h, HASH_M))} / {float(HASH_M)!r})"
 
 
@@ -43,7 +45,7 @@ def numpy_hash_raster(rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
     r = rows.astype(np.int64)
     c = cols.astype(np.int64)
     h = ((r * HASH_A) ^ (c * HASH_B)) ^ HASH_C
-    return (h % HASH_M).astype(np.float64) / float(HASH_M)
+    return np.fmod(h, HASH_M).astype(np.float64) / float(HASH_M)
 
 
 def hash_raster_df(spark: SparkSession, dim: int, shift_rc: tuple[int, int] = (0, 0)

@@ -26,6 +26,9 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=None,
                     help="read doc_ids from this dir's documents.parquet "
                          "instead of synthesizing")
+    ap.add_argument("--broadcast-budget-mb", type=int, default=1024,
+                    help="max broadcast TIN index size; larger TINs take "
+                         "the shuffle equi-join path")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -38,7 +41,7 @@ def main() -> None:
     from gpiv_spark.functions import geocode
     from gpiv_spark.operators.tin import (
         build_triangles,
-        pack_triangle_index,
+        propagate_at,
         propagate_at_broadcast,
     )
     from gpiv_spark.plans import lineage
@@ -84,13 +87,28 @@ def main() -> None:
             F.expr(geocode.y_expr(d, "id")).alias("y"),
         )
 
-    prop = propagate_at_broadcast(
-        spark, docs, tris, index_res=9,
-        centroid=(geocode.X0 + 239.0, geocode.Y0 + 239.0, 7.0),
-    )
+    # docs source identity in the fingerprint: switching --sf-dir (or
+    # synthetic<->sf-dir mode) must invalidate the checkpoint. The
+    # propagation construction lives inside the lambda so a resume
+    # skips the triangle collect entirely.
+    docs_fp = args.sf_dir if args.sf_dir else f"docs={args.docs}"
+    cen = (geocode.X0 + 239.0, geocode.Y0 + 239.0, 7.0)
+
+    def build_propagated():
+        # size-based physical-plan switch: the triangle count is cheap
+        # (parquet metadata); a TIN too big to broadcast takes the
+        # shuffle equi-join path so no single node holds the whole index
+        n_tris = tris.count()
+        if n_tris * 110 <= args.broadcast_budget_mb * (1 << 20):
+            return propagate_at_broadcast(spark, docs, tris, index_res=9,
+                                          centroid=cen)
+        return propagate_at(docs, tris, index_res=9, centroid=cen,
+                            broadcast_triangles=False)
+
     out, resumed_p = lineage.resume_or_run(
         spark, args.checkpoint, "propagated",
-        lambda: prop, f"{fp}-docs={args.docs}",
+        build_propagated,
+        f"{fp}-{docs_fp}",
     )
     row = out.agg(
         F.count("*").alias("n"), F.avg("var_zp").alias("mean_var")

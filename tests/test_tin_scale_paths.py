@@ -124,3 +124,77 @@ def test_normalized_pack_matches_dense_pack(spark, tris, docs):
     assert both.mean() > 0.97
     np.testing.assert_allclose(zp_n[both], zp_d[both], atol=1e-7)
     assert (var_n[both] > 0).all()
+
+
+def _point_df(spark, n):
+    import pyspark.sql.functions as FF
+
+    pts = spark.range(n).select(FF.col("id").alias("pid"))
+    px = geocode.xq_expr(d, "pid")
+    py = geocode.yq_expr(d, "pid")
+    return pts.select(
+        FF.col("pid"),
+        FF.expr(px).alias("x"),
+        FF.expr(py).alias("y"),
+        FF.expr(f"0.01 * ({px} - {X0!r}) - 0.02 * ({py} - {Y0!r}) + 5.0").alias("z"),
+        FF.expr("(1 + pid % 7) * 0.0001").alias("var_x"),
+        FF.expr("(1 + pid % 5) * 0.0001").alias("var_y"),
+        FF.expr("(1 + pid % 3) * 0.0001").alias("var_z"),
+        FF.lit(0.0).alias("cov_xy"),
+        FF.lit(0.0).alias("cov_xz"),
+        FF.lit(0.0).alias("cov_yz"),
+    )
+
+
+def test_blob_pack_identical_to_driver_pack(spark, docs):
+    """The distributed per-cell blob pack must reproduce the old
+    driver-side pack EXACTLY — same arrays, same probe output — so the
+    round-2 build-path change is a pure physical-plan swap."""
+    from gpiv_spark.operators.tin import (
+        _probe_batch,
+        build_pack_blobs,
+        build_triangle_ids,
+        merge_pack_blobs,
+        pack_triangle_index_normalized,
+    )
+
+    points = _point_df(spark, 20_000)
+    tri_ids = build_triangle_ids(spark, points, cell_res=3, halo_m=8.0,
+                                 id_col="pid")
+    pack_old = pack_triangle_index_normalized(
+        tri_ids.toPandas(), points.toPandas(), index_res=8, id_col="pid"
+    )
+    blobs = build_pack_blobs(spark, points, cell_res=3, index_res=8,
+                             halo_m=8.0, id_col="pid")
+    pack_new = merge_pack_blobs(blobs.toArrow(), index_res=8)
+
+    for key in ("px", "py", "pz", "offsets", "cell_tri", "tv",
+                "x1", "y1", "x2", "y2", "x3", "y3"):
+        np.testing.assert_array_equal(pack_old[key], pack_new[key], err_msg=key)
+
+    dpdf = docs.toPandas()
+    xv, yv = dpdf["x"].to_numpy(), dpdf["y"].to_numpy()
+    zo, vo, fo = _probe_batch(pack_old, xv, yv, CEN)
+    zn, vn, fn = _probe_batch(pack_new, xv, yv, CEN)
+    np.testing.assert_array_equal(fo, fn)
+    np.testing.assert_array_equal(zo, zn)
+    np.testing.assert_array_equal(vo, vn)
+
+
+def test_propagate_auto_switches_paths(spark, docs):
+    """Budget above/below the estimated pack size selects broadcast vs
+    shuffle, and both agree on the interpolated plane."""
+    from gpiv_spark.operators.tin import propagate_auto
+
+    points = _point_df(spark, 20_000)
+    a, mode_a = propagate_auto(spark, docs, points, cell_res=3, index_res=8,
+                               halo_m=8.0, id_col="pid", centroid=CEN)
+    assert mode_a == "broadcast"
+    b, mode_b = propagate_auto(spark, docs, points, cell_res=3, index_res=8,
+                               halo_m=8.0, id_col="pid", centroid=CEN,
+                               broadcast_budget_bytes=1024)
+    assert mode_b == "shuffle"
+    pa = a.toPandas().set_index("doc_id").sort_index()
+    pb = b.toPandas().set_index("doc_id").sort_index()
+    assert len(pa) == len(pb) and len(pa) > 4900
+    np.testing.assert_allclose(pa["zp"], pb["zp"], atol=1e-9)
