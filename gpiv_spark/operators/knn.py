@@ -2,10 +2,13 @@
 
 Two physical strategies, one logical op:
 
-- ``knn_bruteforce``: broadcast the small side, cross join, Window
-  rank — exact, right whenever one side fits in a broadcast
-  (anchors/ROI centers). At 100 TB the doc side streams through the
-  broadcast join with zero shuffle before the top-k partial agg.
+- ``knn_bruteforce``: MAP-SIDE top-k against a small anchor set. The
+  anchors become an array-of-structs literal in the plan; per point,
+  ``array_sort`` + ``slice`` + ``posexplode`` rank the k nearest with
+  ZERO shuffle (the round-1 broadcast-join + Window form shuffled
+  n_anchors x n_points rows just to rank per point — at 10^12 docs
+  that is 10^13 shuffled rows for nothing). A Window fallback remains
+  for anchor sets too large to inline.
 - ``knn_kring`` (scale path): encode both sides to hex cells, expand
   queries by k-ring offsets (small explode), equi-join on cell, rank,
   and iterate ring radius until each query has k neighbors within a
@@ -25,6 +28,10 @@ from pyspark.sql import functions as F
 from gpiv_spark.functions.geocode import EXTENT, X0, Y0
 
 N_ANCHORS_SIDE = 4  # 4x4 anchor grid
+
+# above this, the inlined anchor array stops being a sane plan literal
+# and the Window fallback (one shuffle) takes over
+MAX_INLINE_ANCHORS = 1024
 
 
 def anchors() -> list[tuple[int, float, float]]:
@@ -49,7 +56,123 @@ def anchors_values_sql(alias: str = "a") -> str:
 
 def knn_bruteforce(points: DataFrame, anchor_df: DataFrame, k: int,
                    id_col: str = "doc_id") -> DataFrame:
-    """Exact top-k nearest anchors per point via broadcast + Window."""
+    """Exact top-k nearest anchors per point, shuffle-free.
+
+    anchor_df (anchor_id int, ax double, ay double) is collected (it is
+    small by contract) and inlined; each point computes, sorts, and
+    slices its own distance array inside whole-stage codegen.
+    """
+    rows = anchor_df.collect()
+    if len(rows) > MAX_INLINE_ANCHORS:
+        return _knn_window(points, anchor_df, k, id_col)
+    structs = ", ".join(
+        f"named_struct('dist_sq', (x - {r['ax']!r}) * (x - {r['ax']!r})"
+        f" + (y - {r['ay']!r}) * (y - {r['ay']!r}),"
+        f" 'anchor_id', CAST({int(r['anchor_id'])} AS INT))"
+        for r in rows
+    )
+    topk = f"slice(array_sort(array({structs})), 1, {k})"
+    return (
+        points.select(id_col, F.expr(topk).alias("_top"))
+        .select(id_col, F.posexplode("_top").alias("_pos", "_s"))
+        .select(
+            id_col,
+            F.col("_s.anchor_id").alias("anchor_id"),
+            (F.col("_pos") + 1).cast("long").alias("rnk"),
+            F.col("_s.dist_sq").alias("dist_sq"),
+        )
+    )
+
+
+def knn_kring_adaptive(points: DataFrame, k: int, res: int,
+                       id_col: str = "doc_id",
+                       max_ring: int = 32) -> DataFrame:
+    """Exact doc-to-doc kNN via ADAPTIVE k-ring expansion (the H3
+    pattern, full semantics): start with the 1-ring cell neighborhood,
+    and for queries whose k-th candidate is not yet GUARANTEED (fewer
+    than k found, or k-th distance >= ring * cell_size — a closer point
+    could still hide in the unexplored shell), double the ring and
+    retry. Most queries settle at ring 1; the driver loop runs
+    O(log max_ring) distributed rounds over the shrinking pending set.
+
+    Guarantee: cells at Chebyshev distance > r hold points at Euclidean
+    distance >= r * csize, so kth_dist < r * csize proves completeness.
+
+    points: (id_col, x, y). Returns (id_col, nbr, rnk, dist_sq), exact
+    top-k (ties broken by (dist_sq, nbr)) for every query reachable
+    within max_ring.
+    """
+    spark = points.sparkSession
+    n = 1 << res
+    csize = EXTENT / n
+
+    def cellix(c: str, o: float) -> F.Column:
+        return F.expr(
+            f"greatest(0, least({n - 1}, "
+            f"CAST(floor(({c} - {o!r}) / {csize!r}) AS BIGINT)))"
+        )
+
+    enc = points.select(
+        F.col(id_col), "x", "y",
+        cellix("x", X0).alias("ix"), cellix("y", Y0).alias("iy"),
+    )
+    base = enc.select(
+        F.col(id_col).alias("nbr"), F.col("x").alias("bx"),
+        F.col("y").alias("by"), F.col("ix").alias("bix"),
+        F.col("iy").alias("biy"),
+    )
+    pending = enc
+    done: DataFrame | None = None
+    ring = 1
+    while True:
+        offs = spark.createDataFrame(
+            [(dr, dc) for dr in range(-ring, ring + 1)
+             for dc in range(-ring, ring + 1)],
+            "dr int, dc int",
+        )
+        cand = (
+            pending.crossJoin(F.broadcast(offs))
+            .withColumn("jx", F.col("ix") + F.col("dc"))
+            .withColumn("jy", F.col("iy") + F.col("dr"))
+            .filter((F.col("jx") >= 0) & (F.col("jx") < n)
+                    & (F.col("jy") >= 0) & (F.col("jy") < n))
+            .join(base, (F.col("jx") == F.col("bix"))
+                  & (F.col("jy") == F.col("biy")))
+            .filter(F.col(id_col) != F.col("nbr"))
+            .withColumn(
+                "dist_sq",
+                (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
+                + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by")),
+            )
+        )
+        w = Window.partitionBy(id_col).orderBy("dist_sq", "nbr")
+        ranked = (
+            cand.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= k)
+            .select(id_col, "nbr", "rnk", "dist_sq")
+        )
+        if ring >= max_ring:
+            done = ranked if done is None else done.unionByName(ranked)
+            break
+        bound = (ring * csize) ** 2
+        settled_ids = (
+            ranked.groupBy(id_col)
+            .agg(F.count("*").alias("cnt"), F.max("dist_sq").alias("kth"))
+            .filter((F.col("cnt") == k) & (F.col("kth") < bound))
+            .select(id_col)
+        )
+        emit = ranked.join(settled_ids, id_col, "semi")
+        done = emit if done is None else done.unionByName(emit)
+        pending = pending.join(settled_ids, id_col, "anti")
+        if pending.limit(1).count() == 0:
+            break
+        ring *= 2
+    return done
+
+
+def _knn_window(points: DataFrame, anchor_df: DataFrame, k: int,
+                id_col: str) -> DataFrame:
+    """Fallback for large anchor sets: broadcast join + Window rank."""
     joined = points.crossJoin(F.broadcast(anchor_df)).withColumn(
         "dist_sq",
         (F.col("x") - F.col("ax")) * (F.col("x") - F.col("ax"))

@@ -109,11 +109,19 @@ def run_piv(
     propagate: bool = False,
     before_unc: DataFrame | None = None,
     after_unc: DataFrame | None = None,
+    validate: bool = True,
 ) -> DataFrame:
     """Full PIV: returns one row per surviving tile (pixel units).
 
     Inputs are long-form rasters (row int, col int, value double).
+    ``validate`` runs the S2 shape-equality stage first and raises
+    RasterPairMismatch before any NCC work is scheduled
+    (piv_functions.py:82-84).
     """
+    if validate:
+        from gpiv_spark.sources.raster import validate_raster_pair
+
+        validate_raster_pair(before, after)
     parts = [before.withColumn("dataset", F.lit("bh")),
              after.withColumn("dataset", F.lit("ah"))]
     if propagate:

@@ -176,6 +176,47 @@ def q_knn_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_both(spark, sf_dir, _kring_sql(SPARK))
 
 
+# --- knn_kring_adaptive: ring growth until k guaranteed neighbors -----------
+# Sparse fixture (1 in 7 docs, 32x32 cells => most cells empty) where the
+# fixed 1-ring is insufficient for many queries; the adaptive operator
+# doubles the ring per round until every query's k-th neighbor is
+# provably inside the explored shell. Oracle: exact quadratic kNN.
+
+
+def _kring_adaptive_oracle(d) -> str:
+    x = geocode.x_expr(d, "doc_id")
+    y = geocode.y_expr(d, "doc_id")
+    return f"""
+    WITH geo AS (
+      SELECT doc_id, {x} AS x, {y} AS y FROM documents
+      WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id, nbr, CAST(rnk AS BIGINT) AS rnk, dist_sq FROM (
+      SELECT a.doc_id, b.doc_id AS nbr,
+             (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist_sq,
+             row_number() OVER (
+               PARTITION BY a.doc_id
+               ORDER BY (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y), b.doc_id
+             ) AS rnk
+      FROM geo a JOIN geo b ON a.doc_id <> b.doc_id
+    ) t WHERE rnk <= 3
+    """
+
+
+@register("knn_kring_adaptive", _kring_adaptive_oracle(DUCKDB))
+def q_knn_kring_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpiv_spark.operators import knn as knn_op
+
+    d = SPARK
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = docs.filter("doc_id % 7 = 0").select(
+        "doc_id",
+        F.expr(geocode.x_expr(d, "doc_id")).alias("x"),
+        F.expr(geocode.y_expr(d, "doc_id")).alias("y"),
+    )
+    return knn_op.knn_kring_adaptive(pts, k=3, res=_KRES, id_col="doc_id")
+
+
 # --- sessionize: gap-based sessionization over the events stream table ------
 # (SURVEY §2.8 windows; lag + conditional cumsum, the batch sessionizer.)
 
@@ -256,13 +297,37 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_ann_sql(SPARK))
 
 
-# --- media_features: multimodal stub pipeline (rows-only) --------------------
+# --- media_features: multimodal stub pipeline --------------------------------
 # Spans-shaped docs -> explode media spans -> mapInPandas "decode" stub
 # (deterministic fake: real decode needs image/audio libs absent here;
 # the Spark-side plumbing — schema, batching, partitioning — is real).
+# The fake features are a pure function of the media_ref's numeric id,
+# so the oracle replays the fixture's generative formula in SQL and the
+# gate hashes the stub pipeline end-to-end (explode, filter,
+# mapInPandas batch shape, aggregate).
+
+_MEDIA_ORACLE = """
+    WITH nn AS (
+      SELECT least(greatest(200, count(*) // 2), 1000) AS n FROM documents
+    ),
+    d AS (SELECT CAST(r.range AS BIGINT) AS i
+          FROM range(1000) r
+          WHERE CAST(r.range AS BIGINT) < (SELECT n FROM nn)),
+    s AS (SELECT d.i, CAST(j.range AS BIGINT) AS j
+          FROM d CROSS JOIN range(8) j
+          WHERE CAST(j.range AS BIGINT) < 1 + (d.i * 7919) % 8),
+    m AS (SELECT CASE WHEN (i + j * 13) % 3 = 1 THEN 'image'
+                      ELSE 'audio' END AS kind,
+                 (i * 131 + j) % 9973 AS mnum
+          FROM s WHERE (i + j * 13) % 3 <> 0)
+    SELECT kind, CAST(count(*) AS BIGINT) AS n_media,
+           round(avg(CAST((mnum * 73856093) % 1000 AS DOUBLE) / 1000.0), 6)
+             AS avg_feat
+    FROM m GROUP BY kind
+"""
 
 
-@register("media_features", None)
+@register("media_features", _MEDIA_ORACLE)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
@@ -280,19 +345,21 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     def decode_stub(batches):
         for pdf in batches:
             # STUB: container lacks image/audio codecs. A real deployment
-            # decodes pdf["media_ref"] bytes here; we emit a deterministic
-            # fake embedding-summary so the full Spark plumbing is tested.
-            refs = pdf["media_ref"].astype(str)
-            h = np.frombuffer(
-                b"".join(r[-8:].encode().ljust(8, b"\0") for r in refs),
-                dtype=np.int64,
-            ) if len(refs) else np.empty(0, np.int64)
+            # decodes pdf["media_ref"] bytes here; we emit deterministic
+            # fake features derived from the ref's numeric id so the full
+            # Spark plumbing is exercised AND oracle-checkable.
+            mnum = (
+                pdf["media_ref"].astype(str)
+                .str.extract(r"/(\d+)\.bin$")[0]
+                .fillna("0").astype(np.int64)
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "kind": pdf["kind"],
-                    "n_bytes_fake": np.abs(h) % 100_000,
-                    "feat_mean": (np.abs(h) % 1000).astype("float64") / 1000.0,
+                    "n_bytes_fake": (mnum * 2654435761) % 100_000,
+                    "feat_mean": ((mnum * 73856093) % 1000).astype("float64")
+                    / 1000.0,
                 }
             )
 
@@ -415,14 +482,125 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_neardup_sql(SPARK))
 
 
+# --- cosine_neardup_lsh: the SCALE path for embedding near-dup --------------
+# Banded hyperplane LSH (6 bands x 2 bits from 12 deterministic
+# hyperplanes): explode bands -> equi-join on (band, value) -> distinct
+# candidate pairs -> exact cosine refine. Near-duplicates are PLANTED
+# (a deterministically perturbed copy of each vec_id < 50, cosine
+# ~0.999 to its source; the background tops out at 0.51), so recall at
+# the 0.9 threshold is 1 with overwhelming margin (per-pair miss
+# ~(1-p^2)^6 ~ 5e-7 at p=0.955) and the gate can demand EQUALITY with
+# the quadratic baseline — which is hereby demoted to oracle-only.
+# At 10^12 docs the same plan never materializes the cross product:
+# only same-band buckets join (cf. minhash_lsh_pairs).
+
+_NEARDUP_LSH_T = 0.9
+_LSH_NH2 = 12  # hyperplanes -> 6 bands x 2 bits
+
+
+def _neardup_allv_cte(d) -> str:
+    if d.name == "spark":
+        pert = (
+            "transform(sequence(1, size(embedding)), i -> "
+            "CAST(element_at(embedding, i) AS DOUBLE) * "
+            "(1.0 + 0.05 * (CAST((vec_id * 31 + i * 17) % 7 AS DOUBLE) - 3.0)"
+            " / 3.0))"
+        )
+    else:
+        pert = (
+            "list_transform(range(1, len(embedding) + 1), i -> "
+            "CAST(embedding[i] AS DOUBLE) * "
+            "(1.0 + 0.05 * (CAST((vec_id * 31 + i * 17) % 7 AS DOUBLE) - 3.0)"
+            " / 3.0))"
+        )
+    return f"""
+    allv AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT CAST(vec_id + 10000 AS BIGINT) AS vec_id, {pert} AS embedding
+      FROM embeddings WHERE vec_id < 50
+    )"""
+
+
+def _neardup_lsh_spark_sql() -> str:
+    d = SPARK
+    bands = ", ".join(
+        "named_struct('band', {b}, 'bv', "
+        "(CASE WHEN {h0} > 0 THEN 2 ELSE 0 END)"
+        " + (CASE WHEN {h1} > 0 THEN 1 ELSE 0 END))".format(
+            b=b, h0=_hyper(d, 2 * b), h1=_hyper(d, 2 * b + 1)
+        )
+        for b in range(_LSH_NH2 // 2)
+    )
+    dot = ("aggregate(zip_with(a.embedding, b.embedding, "
+           "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+           "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    nrm = (lambda e: f"sqrt(aggregate({e}, CAST(0.0 AS DOUBLE), "
+           f"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    cos = f"({dot} / ({nrm('a.embedding')} * {nrm('b.embedding')}))"
+    return f"""
+    WITH {_neardup_allv_cte(SPARK)},
+    banded AS (
+      SELECT vec_id, bnd.band AS band, bnd.bv AS bv
+      FROM allv LATERAL VIEW explode(array({bands})) t AS bnd
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id
+    )
+    SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM (
+      SELECT c.vec_a, c.vec_b, {cos} AS cosine
+      FROM cand c
+      JOIN allv a ON a.vec_id = c.vec_a
+      JOIN allv b ON b.vec_id = c.vec_b
+    ) t WHERE cosine >= {_NEARDUP_LSH_T!r}
+    """
+
+
+def _neardup_lsh_oracle() -> str:
+    d = DUCKDB
+    dot = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+           "list_transform(range(1, len(a.embedding) + 1), "
+           "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), "
+           "(acc, v) -> acc + v)")
+    nrm = (lambda e: f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+           f"list_transform({e}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), "
+           f"(acc, v) -> acc + v))")
+    cos = f"({dot} / ({nrm('a.embedding')} * {nrm('b.embedding')}))"
+    return f"""
+    WITH {_neardup_allv_cte(DUCKDB)}
+    SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+      FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+    ) t WHERE cosine >= {_NEARDUP_LSH_T!r}
+    """
+
+
+@register("cosine_neardup_lsh", _neardup_lsh_oracle())
+def q_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(_neardup_lsh_spark_sql())
+
+
 # --- span_roundtrip: the north-rule span-sequence invariant at the gate ------
 # Spans-shaped docs ride through geocode -> cell -> PIP join; the output
 # re-derives a structural checksum FROM the spans that came out the other
-# side. Rows-only (the spans fixture is built in pandas, not SQL), but the
-# checksum equality to the input is asserted INSIDE the query pipeline.
+# side. The expected result is one deterministic row (every doc intact,
+# span count = the fixture's generative formula), so the oracle is that
+# formula in SQL: sum over doc index i of (1 + (i*7919) % 8).
+
+_SPAN_RT_ORACLE = """
+    SELECT true AS intact, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(1 + (CAST(r.range AS BIGINT) * 7919) % 8) AS BIGINT)
+             AS n_spans
+    FROM range(500) r
+"""
 
 
-@register("span_roundtrip", None)
+@register("span_roundtrip", _SPAN_RT_ORACLE)
 def q_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpiv_spark import fixtures
     from gpiv_spark.dialect import SPARK as d
@@ -470,9 +648,6 @@ def q_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rollup_sql(d) -> str:
-    g = {
-        "px_row": None, "px_col": None,
-    }
     from gpiv_spark.functions import geocode as _gc
     from gpiv_spark.operators import tiling as _tl
 

@@ -9,10 +9,13 @@ of which (valid) triangulation the engine built, so the DuckDB oracle
 is the closed-form plane evaluated at the grid — a genuine end-to-end
 check of a kernel DuckDB could never run itself.
 
-``tin_var_kernel`` adds E3 variance propagation on a curved surface
-(rows-only: variance depends on the triangle choice, which is not
-SQL-expressible; its correctness is pinned by tests/test_tin_spark.py
-against the global-Delaunay oracle).
+``tin_var_kernel`` adds E3 variance propagation on a curved surface.
+The triangle choice is not SQL-computable, so its oracle is a golden
+parquet produced by the GLOBAL-Delaunay NumPy path (one triangulation
+of the whole cloud — none of the distributed partitioning/halo/cogroup
+machinery; tools/make_goldens.py), keyed by the documents row count so
+the same file serves every test SF. tests/test_tin_spark.py pins the
+same property with tolerance; the gate pins it with a value hash.
 """
 
 from __future__ import annotations
@@ -98,8 +101,18 @@ def q_tin_plane_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tin_var_kernel", None)
+_TIN_VAR_ORACLE = """
+    SELECT grid_id, zp, var_zp
+    FROM read_parquet('/root/repo/tests/golden/tin_var.parquet')
+    WHERE n_docs = (SELECT count(*) FROM documents)
+"""
+
+
+@register("tin_var_kernel", _TIN_VAR_ORACLE)
 def q_tin_var_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points_df(spark, sf_dir, planar=False)
     res = tin_interpolate(spark, pts, _grid_df(spark), cell_res=3, centroid=_CEN)
-    return res.filter("found").select("grid_id", "zp", "var_zp")
+    return res.filter("found").select(
+        "grid_id", F.round("zp", 6).alias("zp"),
+        F.round("var_zp", 10).alias("var_zp"),
+    )

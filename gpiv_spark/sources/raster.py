@@ -95,6 +95,60 @@ def translated_pair(dim: int, shift_rc: tuple[int, int], seed: int = 42,
     return before, after
 
 
+class RasterPairMismatch(ValueError):
+    """S2 validation failure: the raster pair cannot be correlated."""
+
+
+def validate_geo_sidecars(before_geo: dict, after_geo: dict) -> None:
+    """Transform-equality assert (S2): the reference refuses to run PIV
+    when the two epochs' geo-transforms differ (piv_functions.py:82-84).
+    Exact comparison — a half-pixel shift silently breaks every vector.
+    """
+    keys = ("ul_x", "ul_y", "pixel_width", "pixel_height", "epsg", "nodata")
+    diffs = {
+        k: (before_geo.get(k), after_geo.get(k))
+        for k in keys
+        if before_geo.get(k) != after_geo.get(k)
+    }
+    if diffs:
+        raise RasterPairMismatch(f"geo-transform mismatch: {diffs}")
+
+
+def validate_raster_pair(before: DataFrame, after: DataFrame,
+                         deep: bool = False) -> None:
+    """Shape/extent equality for a long-form raster pair; fails the job
+    BEFORE any NCC work is scheduled (S2, piv_functions.py:82-84).
+
+    Cheap path: one tiny agg per raster (count + row/col bounds).
+    ``deep=True`` adds the EXCEPT-style check — symmetric anti-join on
+    (row, col) — catching ragged/missing pixels that bounds can't see.
+    """
+
+    def dims(df: DataFrame):
+        return df.agg(
+            F.count("*").alias("n"),
+            F.min("row").alias("r0"), F.max("row").alias("r1"),
+            F.min("col").alias("c0"), F.max("col").alias("c1"),
+        ).collect()[0]
+
+    db, da = dims(before), dims(after)
+    if tuple(db) != tuple(da):
+        raise RasterPairMismatch(
+            f"raster shape mismatch: before {tuple(db)} vs after {tuple(da)}"
+        )
+    if deep:
+        extra = (
+            before.select("row", "col")
+            .exceptAll(after.select("row", "col"))
+            .limit(1)
+            .count()
+        )
+        if extra:
+            raise RasterPairMismatch(
+                "raster pixel-coordinate sets differ (ragged coverage)"
+            )
+
+
 def array_to_df(spark: SparkSession, arr: np.ndarray) -> DataFrame:
     """Dense 2-D array -> long-form (row, col, value) DataFrame."""
     import pandas as pd

@@ -74,7 +74,9 @@ def test_pip_join_broadcasts_roi_side(spark):
     assert "BroadcastExchange" in plan
 
 
-def test_knn_broadcast_and_single_shuffle(spark):
+def test_knn_is_shuffle_free(spark):
+    """Map-side top-k: the inlined-anchor kNN must contain NO exchange
+    and NO join — the whole ranking happens inside the scan stage."""
     from gpiv_spark.operators import knn as knn_op
 
     docs = spark.read.parquet(f"{SF}/documents.parquet").select(
@@ -85,10 +87,17 @@ def test_knn_broadcast_and_single_shuffle(spark):
     adf = spark.createDataFrame(knn_op.anchors(), "anchor_id int, ax double, ay double")
     q = knn_op.knn_bruteforce(docs, adf, k=3)
     plan = _plan(q, "simple")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    # exactly one exchange: the Window partitionBy(doc_id)
-    n_exchange = plan.count("Exchange hashpartitioning")
-    assert n_exchange == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    # and it agrees with the Window fallback (same output contract)
+    a = q.toPandas().sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+    b = (
+        knn_op._knn_window(docs, adf, k=3, id_col="doc_id")
+        .toPandas().sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
 def test_propagate_probe_is_narrow(spark):
