@@ -26,8 +26,15 @@ def delaunay(points: np.ndarray) -> np.ndarray:
     if n < 3:
         return np.empty((0, 3), dtype=np.int32)
 
+    # Center internally: the in-circle/circumcenter math squares
+    # coordinates, and at UTM magnitudes (~3e6 -> ~1e13 squared) the
+    # cancellation costs ~13 of 16 float digits — measured in-circle
+    # errors up to 1e-3 relative on the lattice-quantized fixtures.
+    # Delaunay is translation-invariant; indices are unchanged.
+    pts = pts - pts.mean(axis=0)
+
     # Super-triangle comfortably containing everything.
-    cx, cy = pts.mean(axis=0)
+    cx, cy = 0.0, 0.0
     span = max(np.ptp(pts[:, 0]), np.ptp(pts[:, 1]), 1.0) * 64.0
     sup = np.array(
         [[cx - span, cy - span * 0.5], [cx + span, cy - span * 0.5], [cx, cy + span]]
@@ -57,10 +64,18 @@ def delaunay(points: np.ndarray) -> np.ndarray:
     # on LCG-walk fixtures degrades to worst case).
     order = np.argsort((np.arange(n, dtype=np.int64) * 2654435761) % 4294967296)
 
+    axl = allp[:, 0].tolist()
+    ayl = allp[:, 1].tolist()
     for i in order:
-        px, py = pts[i, 0], pts[i, 1]
-        d2 = (ccx[:hi] - px) ** 2 + (ccy[:hi] - py) ** 2
-        bad = (d2 < rr[:hi]) & alive[:hi]
+        px = pts[i, 0].item()
+        py = pts[i, 1].item()
+        dx = ccx[:hi] - px
+        dy = ccy[:hi] - py
+        dx *= dx
+        dy *= dy
+        dx += dy
+        bad = dx < rr[:hi]
+        bad &= alive[:hi]
         bad_idx = np.nonzero(bad)[0]
         if len(bad_idx) == 0:
             continue  # on/outside all circumcircles (degenerate duplicate)
@@ -93,12 +108,28 @@ def delaunay(points: np.ndarray) -> np.ndarray:
                     alive[hi:] = False
             tri[slot] = (ori[0], ori[1], i)
             slots.append(slot)
-        sl = np.asarray(slots)
-        c1, r1 = _circumcircles(allp, tri[sl])
-        ccx[sl] = c1[:, 0]
-        ccy[sl] = c1[:, 1]
-        rr[sl] = r1
-        alive[sl] = True
+        # circumcircles of the new fan, scalar-ish (cavity is 3-8
+        # triangles; the generic _circumcircles' column_stack/where
+        # overhead dominated the whole build at this size)
+        for slot in slots:
+            # python-float scalar math: numpy-scalar dtype dispatch is
+            # ~5x slower per op at cavity sizes of 3-8 triangles
+            t0, t1, t2 = tri[slot]
+            ax = axl[t0]; ay = ayl[t0]
+            bx = axl[t1]; by = ayl[t1]
+            cx2 = axl[t2]; cy2 = ayl[t2]
+            d = 2.0 * ((bx - ax) * (cy2 - ay) - (by - ay) * (cx2 - ax))
+            if -1e-300 < d < 1e-300:
+                d = 1e-300
+            a2 = ax * ax + ay * ay
+            b2 = bx * bx + by * by
+            c2 = cx2 * cx2 + cy2 * cy2
+            ux = (a2 * (by - cy2) + b2 * (cy2 - ay) + c2 * (ay - by)) / d
+            uy = (a2 * (cx2 - bx) + b2 * (ax - cx2) + c2 * (bx - ax)) / d
+            ccx[slot] = ux
+            ccy[slot] = uy
+            rr[slot] = (ax - ux) ** 2 + (ay - uy) ** 2
+            alive[slot] = True
 
     live = tri[: hi][alive[:hi]]
     real = (live < n).all(axis=1)

@@ -47,6 +47,36 @@ PIV_SCHEMA = (
     "c00 double, c01 double, c10 double, c11 double"
 )
 
+PIV_BIAS_SCHEMA = PIV_SCHEMA + ", bias_dx double, bias_dy double"
+
+
+def patches_from_array(spark: SparkSession, arr, dataset: str,
+                       cfg: PivConfig) -> DataFrame:
+    """Driver-side fast path of pack_patches for an in-memory raster:
+    the reference's rasters are single-node arrays anyway (a few MB), so
+    slicing them into patch rows here skips a full groupBy shuffle per
+    raster. The long-form pack_patches stays the path for rasters that
+    live in parquet at cluster scale."""
+    import numpy as np
+    import pandas as pd
+
+    step = cfg.step
+    h, w = arr.shape
+    rows = []
+    for pr in range(0, (h + step - 1) // step):
+        for pc in range(0, (w + step - 1) // step):
+            r0, c0 = pr * step, pc * step
+            sub = np.ascontiguousarray(arr[r0 : r0 + step, c0 : c0 + step],
+                                       dtype=np.float64)
+            rows.append(
+                {
+                    "dataset": dataset, "patch_r": pr, "patch_c": pc,
+                    "r0": r0, "c0": c0, "h": sub.shape[0], "w": sub.shape[1],
+                    "data": sub.tobytes(),
+                }
+            )
+    return spark.createDataFrame(pd.DataFrame(rows), PATCH_SCHEMA)
+
 
 def pack_patches(df: DataFrame, cfg: PivConfig) -> DataFrame:
     """(dataset, row, col, value) -> one dense patch row per step-cell."""
@@ -110,13 +140,17 @@ def run_piv(
     before_unc: DataFrame | None = None,
     after_unc: DataFrame | None = None,
     validate: bool = True,
+    with_bias: bool = False,
 ) -> DataFrame:
     """Full PIV: returns one row per surviving tile (pixel units).
 
     Inputs are long-form rasters (row int, col int, value double).
     ``validate`` runs the S2 shape-equality stage first and raises
     RasterPairMismatch before any NCC work is scheduled
-    (piv_functions.py:82-84).
+    (piv_functions.py:82-84). ``with_bias`` fuses the A4 bias self-PIV
+    (before-vs-before) into the same kernel call — two NCC passes per
+    tile, one pipeline instead of two (bias_dx/bias_dy columns; NaN
+    when the self-pass guards reject the tile).
     """
     if validate:
         from gpiv_spark.sources.raster import validate_raster_pair
@@ -134,20 +168,58 @@ def run_piv(
         allpx = allpx.unionByName(p)
 
     patches = pack_patches(allpx.select("dataset", "row", "col", "value"), cfg)
+    return _run_piv_from_patches(spark, patches, cfg, propagate, with_bias)
+
+
+def run_piv_arrays(
+    spark: SparkSession,
+    before,
+    after,
+    cfg: PivConfig,
+    propagate: bool = False,
+    before_unc=None,
+    after_unc=None,
+    with_bias: bool = False,
+) -> DataFrame:
+    """run_piv over in-memory numpy rasters: driver-side patch packing
+    (no per-raster groupBy shuffle), same kernel and semantics."""
+    from gpiv_spark.sources.raster import RasterPairMismatch
+
+    if before.shape != after.shape:
+        raise RasterPairMismatch(
+            f"raster shape mismatch: {before.shape} vs {after.shape}"
+        )
+    pieces = [patches_from_array(spark, before, "bh", cfg),
+              patches_from_array(spark, after, "ah", cfg)]
+    if propagate:
+        if before_unc is None or after_unc is None:
+            raise ValueError("propagate=True requires uncertainty rasters")
+        pieces.append(patches_from_array(spark, before_unc, "bu", cfg))
+        pieces.append(patches_from_array(spark, after_unc, "au", cfg))
+    patches = pieces[0]
+    for p in pieces[1:]:
+        patches = patches.unionByName(p)
+    return _run_piv_from_patches(spark, patches, cfg, propagate, with_bias)
+
+
+def _run_piv_from_patches(spark: SparkSession, patches: DataFrame,
+                          cfg: PivConfig, propagate: bool,
+                          with_bias: bool) -> DataFrame:
     mapping = tile_patch_map(spark, cfg)
     fanned = patches.join(
         F.broadcast(mapping), ["patch_r", "patch_c"]
     )
 
     cfg_d = dict(template=cfg.template, step=cfg.step, scale=cfg.scale,
-                 dim=cfg.dim, prop=propagate)
+                 dim=cfg.dim, prop=propagate, bias=with_bias)
 
     def _tile_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return _piv_tile(key, pdf, cfg_d)
 
     return (
         fanned.groupBy("tile_r", "tile_c")
-        .applyInPandas(_tile_kernel, PIV_SCHEMA)
+        .applyInPandas(_tile_kernel,
+                       PIV_BIAS_SCHEMA if with_bias else PIV_SCHEMA)
     )
 
 
@@ -187,6 +259,7 @@ def _piv_tile(key, pdf: pd.DataFrame, cfg: dict) -> pd.DataFrame:
             "tile_r", "tile_c", "origin_x_px", "origin_y_px", "dx_px",
             "dy_px", "peak_ncc", "c00", "c01", "c10", "c11",
         ]
+        + (["bias_dx", "bias_dy"] if cfg.get("bias") else [])
     )
 
     r_lo, c_lo = tr * step, tc * step
@@ -238,23 +311,36 @@ def _piv_tile(key, pdf: pd.DataFrame, cfg: dict) -> pd.DataFrame:
             c00, c01 = float(peak_cov[0, 0]), float(peak_cov[0, 1])
             c10, c11 = float(peak_cov[1, 0]), float(peak_cov[1, 1])
 
-    return pd.DataFrame(
-        [
-            {
-                "tile_r": tr,
-                "tile_c": tc,
-                "origin_x_px": float(origin_x),
-                "origin_y_px": float(origin_y),
-                "dx_px": float(dx),
-                "dy_px": float(dy),
-                "peak_ncc": float(surf[rmax, cmax]),
-                "c00": c00,
-                "c01": c01,
-                "c10": c10,
-                "c11": c11,
-            }
-        ]
-    )
+    row = {
+        "tile_r": tr,
+        "tile_c": tc,
+        "origin_x_px": float(origin_x),
+        "origin_y_px": float(origin_y),
+        "dx_px": float(dx),
+        "dy_px": float(dy),
+        "peak_ncc": float(surf[rmax, cmax]),
+        "c00": c00,
+        "c01": c01,
+        "c10": c10,
+        "c11": c11,
+    }
+    if cfg.get("bias"):
+        # A4 fused self-pass: exact run_piv(before, before) math on the
+        # already-assembled window — saves the second pack+shuffle+kernel
+        # pipeline. NaN when the self-pass guards reject this tile.
+        row["bias_dx"] = row["bias_dy"] = float("nan")
+        if not (np.isnan(bh).any()
+                or np.nanmax(bh) - np.nanmin(bh) < ncck.EPS_FLAT):
+            surf_b = ncck.ncc_surface(bh, template)
+            rb, cb = np.unravel_index(int(np.argmax(surf_b)), surf_b.shape)
+            if (0 < rb < surf_b.shape[0] - 1) and (0 < cb < surf_b.shape[1] - 1):
+                hz_b, vt_b = ncck.subpixel_peak(
+                    surf_b[rb - 1 : rb + 2, cb - 1 : cb + 2]
+                )
+                row["bias_dx"] = float(cb - int(np.ceil(T / 2)) + hz_b)
+                row["bias_dy"] = float(rb - int(np.ceil(T / 2)) + vt_b)
+
+    return pd.DataFrame([row])
 
 
 def bias_variance(self_piv: DataFrame) -> DataFrame:
@@ -262,6 +348,18 @@ def bias_variance(self_piv: DataFrame) -> DataFrame:
     return self_piv.agg(
         F.var_pop("dx_px").alias("x_bias_variance"),
         F.var_pop("dy_px").alias("y_bias_variance"),
+    )
+
+
+def bias_variance_fused(piv_with_bias: DataFrame) -> DataFrame:
+    """A4 over the fused bias columns (run_piv with_bias=True). NaN rows
+    (tiles the self-pass guards rejected) are excluded, matching the
+    two-pass flow where such tiles never reach the self-PIV result."""
+    return piv_with_bias.agg(
+        F.var_pop(F.when(~F.isnan("bias_dx"), F.col("bias_dx")))
+        .alias("x_bias_variance"),
+        F.var_pop(F.when(~F.isnan("bias_dy"), F.col("bias_dy")))
+        .alias("y_bias_variance"),
     )
 
 

@@ -34,6 +34,16 @@ def get_spark(app: str = "gpiv_spark", cpus: int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Spark 4.1's arrow.maxBytesPerBatch (default 64m) makes the
+        # python-input writer call ArrowWriter.sizeInBytes() PER ROW — a
+        # walk over every vector buffer (measured: ~8 JVM core-seconds
+        # per 1M 5-column rows, capping every mapInPandas stage at
+        # ~3.5M rows/s regardless of cores). Int.MaxValue is the coded
+        # sentinel that disables the per-row check (see
+        # BatchedPythonArrowInput.underBatchSizeLimit); batches stay
+        # bounded by maxRecordsPerBatch above.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                str((1 << 31) - 1))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # Pinned heap + ParallelGC: G1's periodic uncommit (madvise ->
         # TLB-shootdown IPIs) burned 5x more kernel than user CPU on this

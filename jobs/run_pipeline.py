@@ -75,7 +75,11 @@ def main() -> None:
     )
 
     if args.sf_dir:
-        docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet").select(
+        # parquet dir (testdata) or Iceberg catalog namespace — see
+        # gpiv_spark.sources.tables for the cluster-side Iceberg config
+        from gpiv_spark.sources.tables import read_table
+
+        docs = read_table(spark, args.sf_dir, "documents").select(
             "doc_id",
             F.expr(geocode.x_expr(d, "doc_id")).alias("x"),
             F.expr(geocode.y_expr(d, "doc_id")).alias("y"),

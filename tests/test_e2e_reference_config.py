@@ -40,6 +40,37 @@ def test_reference_config_25_cells(spark, ref_case):
     np.testing.assert_allclose(res["peak_ncc"], 1.0, atol=1e-9)
 
 
+def test_fused_bias_equals_two_pass(spark, ref_case):
+    """run_piv(with_bias=True) must reproduce the separate self-PIV pass
+    exactly — same vectors, same bias variances — in one pipeline; and
+    the driver-side array patch packing must match the shuffled packing."""
+    import numpy as np
+
+    from gpiv_spark.operators.piv import bias_variance_fused, run_piv_arrays
+    from gpiv_spark.sources.raster import translated_pair
+
+    before, after = translated_pair(478, (3, -2), seed=42)
+    cfg = PivConfig()
+    bdf, adf = ref_case
+    fused = run_piv_arrays(spark, before, after, cfg, with_bias=True).toPandas()
+    main = run_piv(spark, bdf, adf, cfg).toPandas()
+    self_piv = run_piv(spark, bdf, bdf, cfg).toPandas()
+    f = fused.sort_values(["tile_r", "tile_c"]).reset_index(drop=True)
+    m = main.sort_values(["tile_r", "tile_c"]).reset_index(drop=True)
+    s = self_piv.sort_values(["tile_r", "tile_c"]).reset_index(drop=True)
+    assert len(f) == len(m) == len(s) == 25
+    np.testing.assert_array_equal(f["dx_px"], m["dx_px"])
+    np.testing.assert_array_equal(f["dy_px"], m["dy_px"])
+    np.testing.assert_array_equal(f["bias_dx"], s["dx_px"])
+    np.testing.assert_array_equal(f["bias_dy"], s["dy_px"])
+    bv = bias_variance_fused(
+        run_piv_arrays(spark, before, after, cfg, with_bias=True)
+    ).collect()[0]
+    want = bias_variance(run_piv(spark, bdf, bdf, cfg)).collect()[0]
+    np.testing.assert_allclose(bv["x_bias_variance"], want["x_bias_variance"])
+    np.testing.assert_allclose(bv["y_bias_variance"], want["y_bias_variance"])
+
+
 def test_two_pass_bias_and_sinks(spark, ref_case):
     bdf, adf = ref_case
     cfg = PivConfig()
