@@ -251,6 +251,80 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SESS_SQL)
 
 
+# --- stream_sessions: Structured Streaming in the driver gate ---------------
+# The custom STATEFUL operator (applyInPandasWithState sessionizer,
+# streaming/stateful.py) driven over a bounded two-micro-batch input:
+# batch 1 = the real events, batch 2 = one far-future flush event per
+# user that closes every open session via the gap rule. Per-user
+# session summaries of the CLOSED sessions must hash-match the batch
+# window-function sessionizer — the oracle is the same _SESS_SQL math
+# aggregated per user in DuckDB.
+
+_STREAM_SESS_ORACLE = f"""
+    WITH base AS ({_SESS_SQL.replace("FROM events", "FROM (SELECT * FROM events WHERE user_id < 40) events")})
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           round(sum(total_value), 6) AS total_value
+    FROM base GROUP BY user_id
+"""
+
+
+@register("stream_sessions", _STREAM_SESS_ORACLE)
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import pandas as pd
+
+    from gpiv_spark.streaming.stateful import stream_sessionize
+
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_id",
+                F.col("ts").cast("timestamp").alias("ts"), "value")
+        .filter("user_id < 40")
+    )
+    epdf = events.toPandas()
+    work = Path(tempfile.mkdtemp(prefix="gate_stream_"))
+    try:
+        indir = work / "in"
+        indir.mkdir()
+        events.repartition(4).write.mode("overwrite").parquet(str(indir))
+        stream = spark.readStream.schema(schema).parquet(str(indir))
+        q = (
+            stream_sessionize(stream, gap="30 minutes")
+            .writeStream.outputMode("append").format("memory")
+            .queryName("gate_sessions")
+            .option("checkpointLocation", str(work / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        flush = epdf.groupby("user_id", as_index=False).agg(ts=("ts", "max"))
+        flush["ts"] = pd.to_datetime(flush["ts"]) + pd.Timedelta(days=365)
+        flush["event_id"] = -1
+        flush["value"] = 0.0
+        spark.createDataFrame(
+            flush[["user_id", "event_id", "ts", "value"]], schema
+        ).write.mode("append").parquet(str(indir))
+        q.processAllAvailable()
+        q.stop()
+        flush_ms = int(pd.to_datetime(flush["ts"]).min().value // 1_000_000)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return (
+        spark.table("gate_sessions")
+        .filter(F.col("start_ms") < flush_ms)  # drop flush-opened sessions
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("total_value"), 6).alias("total_value"),
+        )
+    )
+
+
 # --- ann_lsh_buckets: random-hyperplane LSH over embeddings -----------------
 # Deterministic pseudo-hyperplanes h_j[i] = ((j*311 + i*127) % 1009)/1009 - 0.5;
 # bucket = sign bits of 6 dot products. The scale path for ANN: candidates
