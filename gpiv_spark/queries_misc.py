@@ -176,6 +176,86 @@ def q_knn_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_both(spark, sf_dir, _kring_sql(SPARK))
 
 
+# --- pip_cells: equi+refine PIP for MANY polygons (J2 at scale) -------------
+# pip_triangles uses a broadcast nested-loop join — right for 32 ROIs,
+# quadratic in the polygon count. This is the Raptor equi+refine shape
+# the module docstring promises for big polygon sets: polygons explode
+# to their bbox's covering cells, docs equi-join on the cell, and the
+# exact sign test refines. One synthetic triangle per doc_id%5 doc
+# (100 at gate SF); the oracle is the brute-force quadratic join, so
+# the gate proves the bucketed plan loses no pairs.
+
+_PIPC_RES = 5  # 32x32 cells, ~15 m
+
+
+def _pipc_polys(d) -> str:
+    px = geocode.x_expr(d, "doc_id")
+    py = geocode.y_expr(d, "doc_id")
+    r = "(5.0 + CAST(doc_id % 7 AS DOUBLE))"
+    m = "CAST(doc_id % 3 AS DOUBLE)"
+    return f"""
+      SELECT doc_id AS poly_id,
+             ({px} - {r}) AS x1, ({py} - {r}) AS y1,
+             ({px} + {r} + {m}) AS x2, ({py} - {r} + 1.0) AS y2,
+             {px} AS x3, ({py} + {r} + 2.0) AS y3
+      FROM documents WHERE doc_id % 5 = 0"""
+
+
+def _pipc_refine() -> str:
+    from gpiv_spark.operators import pip as pip_op
+
+    return pip_op.inside_triangle_pred(
+        "d.x", "d.y",
+        {k: f"p.{k}" for k in ("x1", "y1", "x2", "y2", "x3", "y3")},
+    )
+
+
+def _pipc_oracle(d) -> str:
+    x = geocode.x_expr(d, "doc_id")
+    y = geocode.y_expr(d, "doc_id")
+    return f"""
+    WITH polys AS ({_pipc_polys(d)}),
+    docs AS (SELECT doc_id, {x} AS x, {y} AS y FROM documents)
+    SELECT d.doc_id, p.poly_id
+    FROM docs d JOIN polys p ON {_pipc_refine()}
+    """
+
+
+def _pipc_spark_sql() -> str:
+    d = SPARK
+    n = 1 << _PIPC_RES
+    cs = geocode.EXTENT / n
+
+    def cix(c: str, o: float) -> str:
+        return (f"greatest(0, least({n - 1}, "
+                f"CAST(floor(({c} - {o!r}) / {cs!r}) AS BIGINT)))")
+
+    x = geocode.x_expr(d, "doc_id")
+    y = geocode.y_expr(d, "doc_id")
+    return f"""
+    WITH polys AS ({_pipc_polys(d)}),
+    pcell AS (
+      SELECT poly_id, x1, y1, x2, y2, x3, y3, iy * {n} + ix AS icell
+      FROM polys
+      LATERAL VIEW explode(sequence({cix('least(y1, y2, y3)', geocode.Y0)},
+                                    {cix('greatest(y1, y2, y3)', geocode.Y0)})) t1 AS iy
+      LATERAL VIEW explode(sequence({cix('least(x1, x2, x3)', geocode.X0)},
+                                    {cix('greatest(x1, x2, x3)', geocode.X0)})) t2 AS ix
+    ),
+    docs AS (
+      SELECT doc_id, x, y, {cix('y', geocode.Y0)} * {n} + {cix('x', geocode.X0)} AS icell
+      FROM (SELECT doc_id, {x} AS x, {y} AS y FROM documents) g
+    )
+    SELECT d.doc_id, p.poly_id
+    FROM docs d JOIN pcell p ON d.icell = p.icell AND {_pipc_refine()}
+    """
+
+
+@register("pip_cells", _pipc_oracle(DUCKDB))
+def q_pip_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_both(spark, sf_dir, _pipc_spark_sql())
+
+
 # --- knn_kring_adaptive: ring growth until k guaranteed neighbors -----------
 # Sparse fixture (1 in 7 docs, 32x32 cells => most cells empty) where the
 # fixed 1-ring is insufficient for many queries; the adaptive operator

@@ -61,9 +61,19 @@ def _make_session_fn(gap_ms: int):
             last = int(t)
             n += 1
             tot += float(v)
-        state.update((start, last, n, tot))
-        # close the open session when the watermark passes last + gap
-        state.setTimeoutTimestamp(last + gap_ms)
+        deadline = last + gap_ms
+        wm = state.getCurrentWatermarkMs()
+        if deadline <= wm:
+            # the event-time watermark already passed this group's gap
+            # deadline (late/straggling group relative to global
+            # progress): the session is closed by definition — emit it
+            # now; a timeout in the past is illegal to register.
+            closed.append((user_id, start, n, tot))
+            state.remove()
+        else:
+            state.update((start, last, n, tot))
+            # close the open session when the watermark passes last+gap
+            state.setTimeoutTimestamp(deadline)
         if closed:
             yield pd.DataFrame(
                 closed, columns=["user_id", "start_ms", "n_events",
