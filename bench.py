@@ -37,9 +37,10 @@ N_DOCS = int(os.environ.get("BENCH_DOCS", "60000000"))
 N_POINTS = int(os.environ.get("BENCH_POINTS", "400000"))
 
 BENCH_QUERIES = [
-    "cells_zorder", "tile_assign", "pip_triangles", "knn_anchors",
-    "minhash_sig", "simhash", "ngram_jaccard", "embed_topk",
-    "piv_kernel", "tin_plane_kernel",
+    "cells_zorder", "tile_assign", "pip_triangles", "pip_cells",
+    "knn_anchors", "minhash_sig", "simhash", "ngram_jaccard",
+    "embed_topk", "cosine_neardup_lsh", "piv_kernel", "piv_covariance",
+    "tin_plane_kernel",
 ]
 
 
