@@ -154,6 +154,9 @@ def knn_kring_adaptive(points: DataFrame, k: int, res: int,
         if ring >= max_ring:
             done = ranked if done is None else done.unionByName(ranked)
             break
+        # three actions read this round's ranking (settled agg, emit
+        # semi-join, pending anti-join) — materialize it once
+        ranked = ranked.cache()
         bound = (ring * csize) ** 2
         settled_ids = (
             ranked.groupBy(id_col)
