@@ -213,7 +213,7 @@ def _run_piv_from_patches(spark: SparkSession, patches: DataFrame,
     cfg_d = dict(template=cfg.template, step=cfg.step, scale=cfg.scale,
                  dim=cfg.dim, prop=propagate, bias=with_bias)
 
-    def _tile_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _tile_kernel(key, pdf):
         return _piv_tile(key, pdf, cfg_d)
 
     return (

@@ -192,7 +192,7 @@ def tin_interpolate(
         ),
     ).select("cell", "grid_id", "x", "y")
 
-    def _cell_kernel(key, gpdf: pd.DataFrame, ppdf: pd.DataFrame) -> pd.DataFrame:
+    def _cell_kernel(key, gpdf, ppdf):  # untyped: full hints or none for pyspark eval-type inference
         if gpdf.empty:
             return pd.DataFrame(
                 columns=["grid_id", "x", "y", "zp", "var_zp", "found"]
@@ -264,7 +264,7 @@ def build_triangles(spark: SparkSession, points: DataFrame, cell_res: int = 4,
 
     csize = _EXT / n
 
-    def _cell_tris(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _cell_tris(key, pdf):
         import numpy as _np
 
         cell = int(key[0])
@@ -329,7 +329,7 @@ def build_triangle_ids(spark: SparkSession, points: DataFrame,
     pts = fan_out_points(spark, points, cell_res, halo_m, extra_cols=(id_col,))
     csize = _EXT / n
 
-    def _cell_tri_ids(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _cell_tri_ids(key, pdf):
         import numpy as _np
 
         cell = int(key[0])
@@ -393,7 +393,7 @@ def build_pack_blobs(spark: SparkSession, points: DataFrame,
     csize = _EXT / n
     pts = fan_out_points(spark, points, cell_res, halo_m, extra_cols=(id_col,))
 
-    def _cell_blob(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _cell_blob(key, pdf):
         import numpy as _np
 
         cell = int(key[0])
