@@ -20,6 +20,8 @@ same property with tolerance; the gate pins it with a value hash.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -101,9 +103,13 @@ def q_tin_plane_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TIN_VAR_ORACLE = """
+_GOLDEN = (
+    Path(__file__).resolve().parent.parent / "tests" / "golden" / "tin_var.parquet"
+)
+
+_TIN_VAR_ORACLE = f"""
     SELECT grid_id, zp, var_zp
-    FROM read_parquet('/root/repo/tests/golden/tin_var.parquet')
+    FROM read_parquet('{_GOLDEN.as_posix()}')
     WHERE n_docs = (SELECT count(*) FROM documents)
 """
 

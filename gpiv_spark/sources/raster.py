@@ -99,12 +99,20 @@ class RasterPairMismatch(ValueError):
     """S2 validation failure: the raster pair cannot be correlated."""
 
 
-def validate_geo_sidecars(before_geo: dict, after_geo: dict) -> None:
+TRANSFORM_KEYS = ("ul_x", "ul_y", "pixel_width", "pixel_height")
+
+
+def validate_geo_sidecars(before_geo: dict, after_geo: dict,
+                          keys: tuple = TRANSFORM_KEYS + ("epsg", "nodata"),
+                          ) -> None:
     """Transform-equality assert (S2): the reference refuses to run PIV
     when the two epochs' geo-transforms differ (piv_functions.py:82-84).
     Exact comparison — a half-pixel shift silently breaks every vector.
+
+    ``keys`` narrows the comparison: the reference only requires the
+    TRANSFORM to match between a height raster and its uncertainty
+    sidecar — nodata/epsg may legitimately differ across products.
     """
-    keys = ("ul_x", "ul_y", "pixel_width", "pixel_height", "epsg", "nodata")
     diffs = {
         k: (before_geo.get(k), after_geo.get(k))
         for k in keys

@@ -59,10 +59,15 @@ def cmd_piv(args) -> None:
     propagate = args.prop is not None
     bu = au = None
     if propagate:
+        from gpiv_spark.sources.raster import TRANSFORM_KEYS
+
         bu, bug = read_geotiff(args.prop[0])
         au, aug = read_geotiff(args.prop[1])
         validate_geo_sidecars(bug, aug)
-        validate_geo_sidecars(bgeo, bug)
+        # height-vs-uncertainty: the reference only requires transform
+        # equality (piv_functions.py:82-84) — uncertainty products may
+        # carry a different nodata/epsg tag and are still valid.
+        validate_geo_sidecars(bgeo, bug, keys=TRANSFORM_KEYS)
 
     cfg = PivConfig(template=args.template_size, step=args.step_size,
                     scale=args.scale, dim=before.shape[0])

@@ -40,9 +40,12 @@ def main() -> None:
     from gpiv_spark.dialect import SPARK as d
     from gpiv_spark.functions import geocode
     from gpiv_spark.operators.tin import (
+        PACK_BYTES_PER_POINT,
+        build_pack_blobs,
         build_triangles,
+        merge_pack_blobs,
+        probe_docs,
         propagate_at,
-        propagate_at_broadcast,
     )
     from gpiv_spark.plans import lineage
 
@@ -53,6 +56,7 @@ def main() -> None:
         px = geocode.xq_expr(d, "pid")
         py = geocode.yq_expr(d, "pid")
         return pts.select(
+            F.col("pid"),
             F.expr(px).alias("x"),
             F.expr(py).alias("y"),
             F.expr(
@@ -67,12 +71,35 @@ def main() -> None:
             F.lit(0.0).alias("cov_yz"),
         )
 
-    t0 = time.time()
-    tris, resumed_t = lineage.resume_or_run(
-        spark, args.checkpoint, "triangles",
-        lambda: build_triangles(spark, build_points(), cell_res=4, halo_m=6.0),
-        fp,
+    # size-based physical-plan switch, shared with propagate_auto
+    # (operators/tin.py): point count is known from the arguments, so
+    # the branch is decided before any job runs. Small TIN -> the
+    # DISTRIBUTED per-cell pack build (workers do Delaunay + pack their
+    # shard; the driver only concatenates — never a toArrow() of the
+    # triangle table). Large TIN -> the triangle table stays distributed
+    # and docs equi-join it on the fine cell.
+    use_broadcast = (
+        args.points * PACK_BYTES_PER_POINT
+        <= args.broadcast_budget_mb * (1 << 20)
     )
+
+    t0 = time.time()
+    if use_broadcast:
+        # checkpoint the expensive stage (per-cell Delaunay + pack
+        # shards) as the tiny blob table — resumable like any stage
+        blobs, resumed_t = lineage.resume_or_run(
+            spark, args.checkpoint, "pack_blobs",
+            lambda: build_pack_blobs(spark, build_points(), cell_res=4,
+                                     index_res=9, halo_m=6.0, id_col="pid"),
+            fp,
+        )
+    else:
+        tris, resumed_t = lineage.resume_or_run(
+            spark, args.checkpoint, "triangles",
+            lambda: build_triangles(spark, build_points(), cell_res=4,
+                                    halo_m=6.0),
+            fp,
+        )
 
     if args.sf_dir:
         # parquet dir (testdata) or Iceberg catalog namespace — see
@@ -91,21 +118,22 @@ def main() -> None:
             F.expr(geocode.y_expr(d, "id")).alias("y"),
         )
 
-    # docs source identity in the fingerprint: switching --sf-dir (or
-    # synthetic<->sf-dir mode) must invalidate the checkpoint. The
-    # propagation construction lives inside the lambda so a resume
-    # skips the triangle collect entirely.
-    docs_fp = args.sf_dir if args.sf_dir else f"docs={args.docs}"
+    # docs source identity + physical path in the fingerprint: switching
+    # --sf-dir (or synthetic<->sf-dir mode, or the broadcast/shuffle
+    # branch via --broadcast-budget-mb) must invalidate the checkpoint.
+    # The propagation construction lives inside the lambda so a resume
+    # skips the pack merge / triangle scan entirely.
+    mode = "bcast" if use_broadcast else "shuffle"
+    docs_fp = (args.sf_dir if args.sf_dir else f"docs={args.docs}") + f"-{mode}"
     cen = (geocode.X0 + 239.0, geocode.Y0 + 239.0, 7.0)
 
     def build_propagated():
-        # size-based physical-plan switch: the triangle count is cheap
-        # (parquet metadata); a TIN too big to broadcast takes the
-        # shuffle equi-join path so no single node holds the whole index
-        n_tris = tris.count()
-        if n_tris * 110 <= args.broadcast_budget_mb * (1 << 20):
-            return propagate_at_broadcast(spark, docs, tris, index_res=9,
-                                          centroid=cen)
+        if use_broadcast:
+            # driver work = shard concatenation only (merge_pack_blobs);
+            # the blob table is ~64 rows, one per coarse cell
+            pack = merge_pack_blobs(blobs.toArrow(), index_res=9)
+            bc = spark.sparkContext.broadcast(pack)
+            return probe_docs(docs, bc, cen)
         return propagate_at(docs, tris, index_res=9, centroid=cen,
                             broadcast_triangles=False)
 
@@ -121,7 +149,9 @@ def main() -> None:
     print(json.dumps({
         "n_docs_out": row["n"],
         "mean_var": row["mean_var"],
-        "resumed": {"triangles": resumed_t, "propagated": resumed_p},
+        "mode": mode,
+        "resumed": {("pack_blobs" if use_broadcast else "triangles"): resumed_t,
+                    "propagated": resumed_p},
         "wall_sec": round(wall, 2),
         "docs_per_sec": round(row["n"] / wall) if wall > 0 else None,
     }))

@@ -181,6 +181,44 @@ def test_blob_pack_identical_to_driver_pack(spark, docs):
     np.testing.assert_array_equal(vo, vn)
 
 
+def test_run_pipeline_entry_switch(spark, monkeypatch, tmp_path, capsys):
+    """The spark-submit entry ships the size-switched physical plan:
+    broadcast branch = distributed pack blobs (checkpointed, no triangle
+    toArrow), shuffle branch = distributed equi-join; both resumable."""
+    import json
+    import sys as _sys
+
+    from pyspark.sql import SparkSession
+
+    import jobs.run_pipeline as rp
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+
+    def run(argv):
+        monkeypatch.setattr(_sys, "argv", ["run_pipeline.py"] + argv)
+        rp.main()
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    ck = str(tmp_path / "ckpt")
+    base = ["--docs", "20000", "--points", "4000", "--checkpoint", ck]
+    r1 = run(base)
+    assert r1["mode"] == "bcast"
+    assert r1["resumed"] == {"pack_blobs": False, "propagated": False}
+    assert (tmp_path / "ckpt" / "pack_blobs" / "data").exists()
+    assert r1["n_docs_out"] > 0.9 * 20000  # hull-edge docs drop (4k-pt TIN)
+
+    r2 = run(base)  # same args -> full resume, identical output
+    assert r2["resumed"] == {"pack_blobs": True, "propagated": True}
+    assert r2["n_docs_out"] == r1["n_docs_out"]
+    assert r2["mean_var"] == r1["mean_var"]
+
+    r3 = run(base + ["--broadcast-budget-mb", "0"])  # forced shuffle path
+    assert r3["mode"] == "shuffle"
+    assert r3["resumed"] == {"triangles": False, "propagated": False}
+    assert r3["n_docs_out"] == r1["n_docs_out"]
+    np.testing.assert_allclose(r3["mean_var"], r1["mean_var"], rtol=1e-6)
+
+
 def test_propagate_auto_switches_paths(spark, docs):
     """Budget above/below the estimated pack size selects broadcast vs
     shuffle, and both agree on the interpolated plane."""
