@@ -40,8 +40,21 @@ BENCH_QUERIES = [
     "cells_zorder", "tile_assign", "pip_triangles", "pip_cells",
     "knn_anchors", "minhash_sig", "simhash", "ngram_jaccard",
     "embed_topk", "cosine_neardup_lsh", "piv_kernel", "piv_covariance",
-    "tin_plane_kernel",
+    "tin_plane_kernel", "salted_cell_stats",
 ]
+
+
+def pin_high_cores(cpus: int) -> None:
+    """Pin this process to the HIGHEST `cpus` available cores (host
+    management load clusters on the low cores: measured pinned-numpy
+    control 0.88 on cores 24-31 vs 0.82 on 0-7). Derived from the host,
+    not hardcoded; fails fast when the host is too small."""
+    avail = sorted(os.sched_getaffinity(0))
+    if cpus > len(avail):
+        raise SystemExit(
+            f"benchmark level needs {cpus} cores; host offers {len(avail)}"
+        )
+    os.sched_setaffinity(0, set(avail[-cpus:]))
 
 
 def bench_points(spark, n_points: int):
@@ -234,12 +247,10 @@ def headline_child(cpus: int, n_docs: int, n_points: int) -> None:
     headline build+stream, print one JSON line. Affinity is inherited by
     the JVM and every Python UDF worker, so 'N cores' means N cores.
 
-    High cores (31 downward) are used — host management load clusters on
-    the low cores (measured: pinned numpy control 0.88 on cores 24-31 vs
-    0.82 on 0-7). Build and stream are both best-of-2: this shared VM
-    swings wall times minute-to-minute, and a single cold sample at one
-    level corrupts the ratio."""
-    os.sched_setaffinity(0, set(range(32 - cpus, 32)))
+    Build and stream are both best-of-2: this shared VM swings wall
+    times minute-to-minute, and a single cold sample at one level
+    corrupts the ratio."""
+    pin_high_cores(cpus)
 
     from gpiv_spark.session import get_spark
 
@@ -316,7 +327,9 @@ def reference_workload(spark) -> dict:
                          before_unc=unc, after_unc=unc, with_bias=True)
     piv = piv.cache()
     bias = bias_variance_fused(piv)
-    n = add_bias_variance(piv.drop("bias_dx", "bias_dy"), bias).count()
+    n = add_bias_variance(
+        piv.drop("bias_dx", "bias_dy").filter("NOT isnan(dx_px)"), bias
+    ).count()
     wall = time.time() - t0
     piv.unpersist()
     assert n == 25, n
@@ -330,31 +343,91 @@ def _control_work(seed: int) -> float:
     rng = np.random.default_rng(seed)
     a = rng.normal(0, 1, (256, 256))
     acc = 0.0
-    for _ in range(40):
+    for _ in range(160):
         acc += float(np.abs(np.fft.rfft2(a)).sum())
         a = a * 0.999 + 0.001
     return acc
 
 
-def control_efficiency(n_lo: int = 2, n_hi: int = 8, tasks: int = 64) -> dict:
-    """VM scaling ceiling: identical numpy work via multiprocessing only
-    (no Spark), under the same CPU pinning as the engine runs. If the
-    box itself cannot scale, no engine can."""
+def control_efficiency(n_lo: int = 2, n_hi: int = 8,
+                       tasks: int | None = None) -> dict:
+    """VM scaling ceiling at an (n_lo -> n_hi) core pair: identical
+    numpy work via multiprocessing only (no Spark), same high-core CPU
+    pinning and same fixed task count as the engine runs. If the box
+    itself cannot scale at a pair, no engine can — engine efficiency at
+    that pair is read RELATIVE to this number."""
     import multiprocessing as mp
 
+    # fixed ratio: 16 full waves at the HI level (and 16*n_hi/n_lo at
+    # lo) so both pairs measure multi-second walls with no partial-wave
+    # quantization; same task count at both levels of a pair, like the
+    # engine's same-input protocol
+    if tasks is None:
+        tasks = 16 * n_hi
     full = os.sched_getaffinity(0)
+    avail = sorted(full)
     out = {}
     for procs in (n_lo, n_hi):
-        os.sched_setaffinity(0, set(range(procs)))
+        if procs > len(avail):
+            raise SystemExit(
+                f"control pair needs {procs} cores; host offers {len(avail)}"
+            )
+        os.sched_setaffinity(0, set(avail[-procs:]))
         try:
             with mp.Pool(procs) as pool:
                 pool.map(_control_work, range(procs))  # warm
-                t0 = time.time()
-                pool.map(_control_work, range(tasks))
-                out[procs] = time.time() - t0
+                best = float("inf")
+                for _ in range(2):  # best-of-2, like the engine phases
+                    t0 = time.time()
+                    pool.map(_control_work, range(tasks))
+                    best = min(best, time.time() - t0)
+                out[procs] = best
         finally:
             os.sched_setaffinity(0, full)
     out["efficiency"] = (out[n_lo] / out[n_hi]) / (n_hi / n_lo)
+    return out
+
+
+def skew_bench(spark, n_docs: int, res: int = 2, n_salt: int = 256) -> dict:
+    """Skew evidence (SURVEY §7.3): the SAME salted-kernel pipeline over
+    uniformly geocoded docs vs a fixture with 50% of docs in ONE cell.
+    The salt splits the hot applyInPandas group into n_salt bounded
+    Python calls that hash across all shuffle partitions, so skewed
+    throughput should stay within ~1.3x of uniform. Coarse cells (res 2
+    -> 16) keep per-group pandas overhead out of the measurement; the
+    hot group still holds 50% of all rows, 8x any uniform cell.
+    Best-of-2, plan rebuilt per run."""
+    from pyspark.sql import functions as F
+
+    from gpiv_spark.dialect import SPARK as d
+    from gpiv_spark.functions import cells, geocode
+    from gpiv_spark.operators.salting import salted_cell_stats
+
+    def run_once(skewed: bool) -> float:
+        x = geocode.x_expr(d, "doc_id")
+        y = geocode.y_expr(d, "doc_id")
+        if skewed:
+            x = (f"(CASE WHEN doc_id % 2 = 0 THEN "
+                 f"{geocode.X0 + 100.25!r} ELSE {x} END)")
+            y = (f"(CASE WHEN doc_id % 2 = 0 THEN "
+                 f"{geocode.Y0 + 200.75!r} ELSE {y} END)")
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.expr(cells.zcell_expr(d, x, y, res)).alias("cell"),
+            F.expr(f"{x} - {geocode.X0!r}").alias("dx"),
+            F.expr(f"{y} - {geocode.Y0!r}").alias("dy"),
+        )
+        t0 = time.time()
+        row = salted_cell_stats(docs, n_salt=n_salt).agg(
+            F.sum("n_docs").alias("n")
+        ).collect()[0]
+        assert row["n"] == n_docs
+        return time.time() - t0
+
+    out = {"n_docs": n_docs, "n_salt": n_salt}
+    for label, skewed in (("uniform_sec", False), ("skewed_sec", True)):
+        out[label] = round(min(run_once(skewed) for _ in range(2)), 2)
+    out["skew_ratio"] = round(out["skewed_sec"] / out["uniform_sec"], 3)
     return out
 
 
@@ -371,12 +444,18 @@ def main() -> None:
         n = qs[name](spark, SF_DIR).count()
         qtimes[name] = round(time.time() - t0, 3)
         assert n > 0, name
+    skew = skew_bench(spark, max(N_DOCS // 10, 100_000))
     spark.stop()
 
-    ctl = control_efficiency()
+    # hardware controls at BOTH graded pairs, same pinning protocol
+    ctl = control_efficiency(2, 8)
+    ctl_8_32 = control_efficiency(8, 32)
     spark = get_spark("bench-ref", cpus=CPUS, shuffle_partitions=2 * CPUS)
-    ref = min((reference_workload(spark) for _ in range(2)),
-              key=lambda r: r["wall_sec"])  # best-of-2 warm, like headline
+    # 3 warm runs: persist the spread, not just the min — round-over-
+    # round comparisons on this noisy box stop being min-vs-min flips
+    ref_runs = sorted(reference_workload(spark)["wall_sec"] for _ in range(3))
+    ref = {"cells": 25, "wall_sec": ref_runs[0],
+           "wall_min_med_max": [ref_runs[0], ref_runs[1], ref_runs[2]]}
     spark.stop()
     from pyspark.sql import SparkSession
     SparkSession._instantiatedSession = None
@@ -385,17 +464,20 @@ def main() -> None:
     # the short 8/32-core children are re-run and the per-phase min
     # taken — the long 2-core child is 4x less noise-sensitive and runs
     # once. Phase-min over repeats, like best-of-N wall clock.
-    def best(cpus, n_docs, reps):
+    all_runs: dict[str, list] = {}
+
+    def best(tag, cpus, n_docs, reps):
         runs = [run_headline(cpus, n_docs=n_docs) for _ in range(reps)]
+        all_runs[tag] = [[round(b, 2), round(s, 2)] for b, s in runs]
         return min(r[0] for r in runs), min(r[1] for r in runs)
 
-    b2, s2 = best(2, N_DOCS, 1)
-    b8, s8 = best(8, N_DOCS, 2)
+    b2, s2 = best("cores2", 2, N_DOCS, 1)
+    b8, s8 = best("cores8", 8, N_DOCS, 2)
     # 8 -> 32 evidence pair: same 2x input at both levels, so the 32-core
     # point measures compute, not the fixed per-job floor (VERDICT r1 #3)
     big_docs = 2 * N_DOCS
-    b8b, s8b = best(8, big_docs, 1)
-    b32, s32 = best(32, big_docs, 1)
+    b8b, s8b = best("cores8_2x_docs", 8, big_docs, 2)
+    b32, s32 = best("cores32_2x_docs", 32, big_docs, 2)
     t2, t8 = b2 + s2, b8 + s8
     eff_n4n = (t2 / t8) / 4.0       # N=2 cores -> 4N=8 cores
     eff_stream = (s2 / s8) / 4.0    # docs/sec throughput criterion
@@ -420,9 +502,10 @@ def main() -> None:
             "build_stream_sec": {
                 "cores2": [round(b2, 2), round(s2, 2)],
                 "cores8": [round(b8, 2), round(s8, 2)],
-                "cores8_4x_docs": [round(b8b, 2), round(s8b, 2)],
-                "cores32_4x_docs": [round(b32, 2), round(s32, 2)],
+                "cores8_2x_docs": [round(b8b, 2), round(s8b, 2)],
+                "cores32_2x_docs": [round(b32, 2), round(s32, 2)],
             },
+            "per_run_build_stream_sec": all_runs,
             "docs_per_sec_stream_8cores": round(d8),
             "docs_per_sec_stream_32cores": round(d32),
             "scaling_efficiency_N_to_4N_cores_2_8": round(eff_n4n, 3),
@@ -430,7 +513,12 @@ def main() -> None:
             "scaling_efficiency_8_to_32": round(eff_8_32, 3),
             "throughput_scaling_efficiency_8_32": round(eff_8_32_stream, 3),
             "hw_control_mp_efficiency_2_8": round(ctl["efficiency"], 3),
+            "hw_control_mp_efficiency_8_32": round(ctl_8_32["efficiency"], 3),
+            "engine_vs_control_2_8": round(eff_n4n / ctl["efficiency"], 3),
+            "engine_vs_control_8_32": round(
+                eff_8_32 / ctl_8_32["efficiency"], 3),
         },
+        "skew": skew,
         "reference_workload": ref,
     }
     Path("BENCH.md").write_text(
@@ -459,23 +547,33 @@ def main() -> None:
         f"| 32 | {big_docs:,} | {b32:.1f} | {s32:.1f} | {d32:,.0f} |\n\n"
         f"**Scaling efficiency N->4N (2->8 cores)**: docs/sec throughput "
         f"(stream phase) **{eff_stream:.3f}**; total job incl. TIN build "
-        f"**{eff_n4n:.3f}** (target >= 0.8). 8->32 at 4x docs: stream "
+        f"**{eff_n4n:.3f}** (target >= 0.8). 8->32 at 2x docs: stream "
         f"{eff_8_32_stream:.3f}, total {eff_8_32:.3f}.\n\n"
-        f"Hardware control (pure numpy multiprocessing, no Spark, same "
-        f"pinning and 2->8 protocol): efficiency {ctl['efficiency']:.3f} "
-        f"— the VM's own ceiling under host oversubscription and "
-        f"active-core frequency effects; engine efficiency should be "
-        f"read relative to it.\n\n"
+        f"Hardware controls (pure numpy multiprocessing, no Spark, same "
+        f"high-core pinning and fixed task count): 2->8 efficiency "
+        f"{ctl['efficiency']:.3f}, 8->32 efficiency "
+        f"{ctl_8_32['efficiency']:.3f} — the VM's own ceiling per pair "
+        f"under host oversubscription and active-core frequency effects. "
+        f"Engine relative to control: 2->8 "
+        f"**{eff_n4n / ctl['efficiency']:.3f}**, 8->32 "
+        f"**{eff_8_32 / ctl_8_32['efficiency']:.3f}**.\n\n"
+        f"Skew evidence (SURVEY §7.3): the salted per-cell kernel over "
+        f"{skew['n_docs']:,} docs, uniform {skew['uniform_sec']}s vs "
+        f"50%-one-hot-cell {skew['skewed_sec']}s — ratio "
+        f"**{skew['skew_ratio']}** (n_salt={skew['n_salt']}; ~1.0 means "
+        f"the salt keeps kernel stages balanced under extreme skew).\n\n"
         "Caveat: this sandbox VM shows external load (loadavg 2-6 while "
         "idle) and run-to-run wall-time variance up to 2.5x; figures are "
-        "best-of-2 warm runs. See BASELINE.md for the measurement "
-        "protocol.\n\n"
+        "best-of-2 warm runs, with per-run spreads persisted in the "
+        "JSON (per_run_build_stream_sec, wall_min_med_max). See "
+        "BASELINE.md for the measurement protocol.\n\n"
         f"Reference e2e workload (478x478, template=100/step=50/scale=2, "
         f"propagation + bias two-pass, 25 cells): **{ref['wall_sec']}s** "
-        f"wall at local[{CPUS}] with the analytic Jacobian. The reference "
-        f"runs the same job single-threaded with an O(T^4) numeric "
-        f"Jacobian (~4.5e10 MAC, BASELINE.md) plus a >=5s GUI render "
-        f"floor.\n\n"
+        f"wall at local[{CPUS}] (min/med/max over 3 warm runs: "
+        f"{ref['wall_min_med_max']}) with the analytic Jacobian. The "
+        f"reference runs the same job single-threaded with an O(T^4) "
+        f"numeric Jacobian (~4.5e10 MAC, BASELINE.md) plus a >=5s GUI "
+        f"render floor.\n\n"
         "Per-query seconds at the bench SF:\n\n"
         + "\n".join(f"- {k}: {v}" for k, v in qtimes.items())
         + "\n"

@@ -86,7 +86,8 @@ def knn_bruteforce(points: DataFrame, anchor_df: DataFrame, k: int,
 
 def knn_kring_adaptive(points: DataFrame, k: int, res: int,
                        id_col: str = "doc_id",
-                       max_ring: int = 32) -> DataFrame:
+                       max_ring: int = 32,
+                       stats: dict | None = None) -> DataFrame:
     """Exact doc-to-doc kNN via ADAPTIVE k-ring expansion (the H3
     pattern, full semantics): start with the 1-ring cell neighborhood,
     and for queries whose k-th candidate is not yet GUARANTEED (fewer
@@ -98,9 +99,22 @@ def knn_kring_adaptive(points: DataFrame, k: int, res: int,
     Guarantee: cells at Chebyshev distance > r hold points at Euclidean
     distance >= r * csize, so kth_dist < r * csize proves completeness.
 
+    Each round's ranking AND the shrinking pending set are eagerly
+    localCheckpoint-ed: the per-round shuffle is materialized exactly
+    once (three readers), later rounds and the final union never
+    re-derive earlier candidate generation, and the blocks are released
+    by the ContextCleaner once the result is garbage-collected —
+    ``cache()`` would pin them in the CacheManager for the session
+    lifetime (the driver gate runs dozens of queries in one session).
+
+    Queries still unsettled at ``max_ring`` are emitted best-effort and
+    counted in ``stats['unsettled']`` plus a ``warnings.warn`` — the
+    exactness contract holds only for settled queries there.
+
     points: (id_col, x, y). Returns (id_col, nbr, rnk, dist_sq), exact
     top-k (ties broken by (dist_sq, nbr)) for every query reachable
-    within max_ring.
+    within max_ring. ``stats`` (optional dict) is filled with
+    {'rounds', 'unsettled'}.
     """
     spark = points.sparkSession
     n = 1 << res
@@ -122,9 +136,11 @@ def knn_kring_adaptive(points: DataFrame, k: int, res: int,
         F.col("iy").alias("biy"),
     )
     pending = enc
-    done: DataFrame | None = None
+    emitted: list[DataFrame] = []
+    rounds = 0
     ring = 1
     while True:
+        rounds += 1
         offs = spark.createDataFrame(
             [(dr, dc) for dr in range(-ring, ring + 1)
              for dc in range(-ring, ring + 1)],
@@ -146,17 +162,15 @@ def knn_kring_adaptive(points: DataFrame, k: int, res: int,
             )
         )
         w = Window.partitionBy(id_col).orderBy("dist_sq", "nbr")
+        # materialize this round's shuffle exactly once (settled agg,
+        # emit semi-join, pending anti-join all read it); lineage
+        # truncation keeps the final union's plan O(rounds) deep
         ranked = (
             cand.withColumn("rnk", F.row_number().over(w).cast("long"))
             .filter(F.col("rnk") <= k)
             .select(id_col, "nbr", "rnk", "dist_sq")
+            .localCheckpoint(eager=True)
         )
-        if ring >= max_ring:
-            done = ranked if done is None else done.unionByName(ranked)
-            break
-        # three actions read this round's ranking (settled agg, emit
-        # semi-join, pending anti-join) — materialize it once
-        ranked = ranked.cache()
         bound = (ring * csize) ** 2
         settled_ids = (
             ranked.groupBy(id_col)
@@ -164,12 +178,32 @@ def knn_kring_adaptive(points: DataFrame, k: int, res: int,
             .filter((F.col("cnt") == k) & (F.col("kth") < bound))
             .select(id_col)
         )
-        emit = ranked.join(settled_ids, id_col, "semi")
-        done = emit if done is None else done.unionByName(emit)
-        pending = pending.join(settled_ids, id_col, "anti")
-        if pending.limit(1).count() == 0:
+        if ring >= max_ring:
+            emitted.append(ranked)
+            n_unsettled = pending.join(settled_ids, id_col, "anti").count()
+            if n_unsettled:
+                import warnings
+
+                warnings.warn(
+                    f"knn_kring_adaptive: {n_unsettled} queries hit "
+                    f"max_ring={max_ring} unsettled; their top-k is "
+                    "best-effort, not guaranteed exact", stacklevel=2,
+                )
+            if stats is not None:
+                stats.update(rounds=rounds, unsettled=n_unsettled)
+            break
+        emitted.append(ranked.join(settled_ids, id_col, "semi"))
+        pending = pending.join(settled_ids, id_col, "anti").localCheckpoint(
+            eager=True
+        )
+        if pending.isEmpty():
+            if stats is not None:
+                stats.update(rounds=rounds, unsettled=0)
             break
         ring *= 2
+    done = emitted[0]
+    for part in emitted[1:]:
+        done = done.unionByName(part)
     return done
 
 

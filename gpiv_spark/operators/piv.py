@@ -149,8 +149,12 @@ def run_piv(
     RasterPairMismatch before any NCC work is scheduled
     (piv_functions.py:82-84). ``with_bias`` fuses the A4 bias self-PIV
     (before-vs-before) into the same kernel call — two NCC passes per
-    tile, one pipeline instead of two (bias_dx/bias_dy columns; NaN
-    when the self-pass guards reject the tile).
+    tile, one pipeline instead of two. Each pass keeps its OWN guards:
+    a tile appears when either pass survives; main fields (dx_px, ...)
+    are NaN on bias-only rows and bias_dx/bias_dy are NaN when the
+    self-pass guards reject the tile — exactly the union of the
+    reference's two independent runs. Vector consumers filter
+    ``~isnan(dx_px)``.
     """
     if validate:
         from gpiv_spark.sources.raster import validate_raster_pair
@@ -263,39 +267,81 @@ def _piv_tile(key, pdf: pd.DataFrame, cfg: dict) -> pd.DataFrame:
     )
 
     r_lo, c_lo = tr * step, tc * step
+    bias_mode = bool(cfg.get("bias"))
     bh = _assemble(pdf, "bh", r_lo, c_lo, ssize_r, ssize_c)
     ah = _assemble(pdf, "ah", r_lo, c_lo, ssize_r, ssize_c)
-    if bh is None or ah is None:
+    if bh is None or (ah is None and not bias_mode):
         return empty
     template = bh[off : off + T, off : off + T]
 
+    # A4 fused self-pass FIRST — exact run_piv(before, before) math on
+    # the already-assembled window, with guards depending ONLY on the
+    # before raster (the reference derives bias from a standalone
+    # before-vs-before run, gpiv.py -> get_bias_variance, so a tile the
+    # MAIN pass rejects — e.g. nodata only in the after epoch — still
+    # contributes to the bias sample set). NaN when the SELF-pass's own
+    # guards reject the tile.
+    bias_dx = bias_dy = float("nan")
+    if bias_mode and not (
+        np.isnan(bh).any()
+        or np.nanmax(template) - np.nanmin(template) < ncck.EPS_FLAT
+        or np.nanmax(bh) - np.nanmin(bh) < ncck.EPS_FLAT
+    ):
+        surf_b = ncck.ncc_surface(bh, template)
+        rb, cb = np.unravel_index(int(np.argmax(surf_b)), surf_b.shape)
+        if (0 < rb < surf_b.shape[0] - 1) and (0 < cb < surf_b.shape[1] - 1):
+            hz_b, vt_b = ncck.subpixel_peak(
+                surf_b[rb - 1 : rb + 2, cb - 1 : cb + 2]
+            )
+            bias_dx = float(cb - int(np.ceil(T / 2)) + hz_b)
+            bias_dy = float(rb - int(np.ceil(T / 2)) + vt_b)
+
     # F1 flat guard + F2 NaN guard (piv_functions.py:130-136)
-    if (
+    main_ok = ah is not None and not (
         np.isnan(template).any()
         or np.isnan(ah).any()
         or np.nanmax(template) - np.nanmin(template) < ncck.EPS_FLAT
         or np.nanmax(ah) - np.nanmin(ah) < ncck.EPS_FLAT
-    ):
+    )
+    if main_ok:
+        surf = ncck.ncc_surface(ah, template)
+        rmax, cmax = np.unravel_index(int(np.argmax(surf)), surf.shape)
+        # F3 edge guard (piv_functions.py:141-146)
+        if (rmax == 0 or cmax == 0 or rmax == surf.shape[0] - 1
+                or cmax == surf.shape[1] - 1):
+            main_ok = False
+    if not main_ok and (not bias_mode or np.isnan(bias_dx)):
         return empty
-
-    surf = ncck.ncc_surface(ah, template)
-    rmax, cmax = np.unravel_index(int(np.argmax(surf)), surf.shape)
-
-    # F3 edge guard (piv_functions.py:141-146)
-    if rmax == 0 or cmax == 0 or rmax == surf.shape[0] - 1 or cmax == surf.shape[1] - 1:
-        return empty
-
-    patch33 = surf[rmax - 1 : rmax + 2, cmax - 1 : cmax + 2]
-    hz_d, vt_d = ncck.subpixel_peak(patch33)
 
     half = int(np.floor(search / 2))
     sub = (1 - search % 2) * 0.5
-    origin_x = tc * step + half - sub
-    origin_y = tr * step + half - sub
-    dx = cmax - int(np.ceil(T / 2)) + hz_d
-    dy = rmax - int(np.ceil(T / 2)) + vt_d
+    row = {
+        "tile_r": tr,
+        "tile_c": tc,
+        "origin_x_px": float(tc * step + half - sub),
+        "origin_y_px": float(tr * step + half - sub),
+        "dx_px": float("nan"),
+        "dy_px": float("nan"),
+        "peak_ncc": float("nan"),
+        "c00": float("nan"),
+        "c01": float("nan"),
+        "c10": float("nan"),
+        "c11": float("nan"),
+    }
+    if bias_mode:
+        row["bias_dx"], row["bias_dy"] = bias_dx, bias_dy
+    if not main_ok:
+        # bias-only row: main fields NaN; consumers of the vector result
+        # filter on ~isnan(dx_px) while bias_variance_fused reads the
+        # bias columns from ALL rows
+        return pd.DataFrame([row])
 
-    c00 = c01 = c10 = c11 = float("nan")
+    patch33 = surf[rmax - 1 : rmax + 2, cmax - 1 : cmax + 2]
+    hz_d, vt_d = ncck.subpixel_peak(patch33)
+    row["dx_px"] = float(cmax - int(np.ceil(T / 2)) + hz_d)
+    row["dy_px"] = float(rmax - int(np.ceil(T / 2)) + vt_d)
+    row["peak_ncc"] = float(surf[rmax, cmax])
+
     if cfg["prop"]:
         bu = _assemble(pdf, "bu", r_lo, c_lo, ssize_r, ssize_c)
         au = _assemble(pdf, "au", r_lo, c_lo, ssize_r, ssize_c)
@@ -308,37 +354,8 @@ def _piv_tile(key, pdf: pd.DataFrame, cfg: dict) -> pd.DataFrame:
             peak_cov = ncck.propagate_correlation_into_subpixel_peak(
                 patch33, corr_cov, (hz_d, vt_d)
             )
-            c00, c01 = float(peak_cov[0, 0]), float(peak_cov[0, 1])
-            c10, c11 = float(peak_cov[1, 0]), float(peak_cov[1, 1])
-
-    row = {
-        "tile_r": tr,
-        "tile_c": tc,
-        "origin_x_px": float(origin_x),
-        "origin_y_px": float(origin_y),
-        "dx_px": float(dx),
-        "dy_px": float(dy),
-        "peak_ncc": float(surf[rmax, cmax]),
-        "c00": c00,
-        "c01": c01,
-        "c10": c10,
-        "c11": c11,
-    }
-    if cfg.get("bias"):
-        # A4 fused self-pass: exact run_piv(before, before) math on the
-        # already-assembled window — saves the second pack+shuffle+kernel
-        # pipeline. NaN when the self-pass guards reject this tile.
-        row["bias_dx"] = row["bias_dy"] = float("nan")
-        if not (np.isnan(bh).any()
-                or np.nanmax(bh) - np.nanmin(bh) < ncck.EPS_FLAT):
-            surf_b = ncck.ncc_surface(bh, template)
-            rb, cb = np.unravel_index(int(np.argmax(surf_b)), surf_b.shape)
-            if (0 < rb < surf_b.shape[0] - 1) and (0 < cb < surf_b.shape[1] - 1):
-                hz_b, vt_b = ncck.subpixel_peak(
-                    surf_b[rb - 1 : rb + 2, cb - 1 : cb + 2]
-                )
-                row["bias_dx"] = float(cb - int(np.ceil(T / 2)) + hz_b)
-                row["bias_dy"] = float(rb - int(np.ceil(T / 2)) + vt_b)
+            row["c00"], row["c01"] = float(peak_cov[0, 0]), float(peak_cov[0, 1])
+            row["c10"], row["c11"] = float(peak_cov[1, 0]), float(peak_cov[1, 1])
 
     return pd.DataFrame([row])
 

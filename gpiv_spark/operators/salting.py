@@ -37,3 +37,39 @@ def merge_partials(partials: DataFrame, key_cols: list[str],
     """
     aggs = [getattr(F, fn)(col).alias(col) for col, fn in merges.items()]
     return partials.groupBy(*key_cols).agg(*aggs)
+
+
+def salted_cell_stats(docs_geo: DataFrame, n_salt: int = 16) -> DataFrame:
+    """Per-cell doc statistics through the full salted kernel path:
+    stage 1 is an ``applyInPandas`` kernel per (cell, _salt) — a hot
+    cell (urban cluster at 10^12-doc scale) splits into ``n_salt``
+    bounded Python calls instead of one giant one — stage 2 re-merges
+    the algebraic partials with a cheap groupBy.
+
+    docs_geo: (doc_id, cell, dx, dy) where dx/dy are extent-relative
+    offsets (well-conditioned sums). Returns (cell, n_docs, sum_dx,
+    sum_dy) — exact regardless of how the salt split the groups.
+    """
+    import pandas as pd
+
+    salted = with_salt(docs_geo, ["doc_id"], n_salt)
+
+    def _partial(key, pdf):
+        return pd.DataFrame(
+            [
+                {
+                    "cell": int(key[0]),
+                    "n_docs": len(pdf),
+                    "sum_dx": float(pdf["dx"].to_numpy().sum()),
+                    "sum_dy": float(pdf["dy"].to_numpy().sum()),
+                }
+            ]
+        )
+
+    partials = salted.groupBy("cell", "_salt").applyInPandas(
+        _partial, "cell long, n_docs long, sum_dx double, sum_dy double"
+    )
+    return merge_partials(
+        partials, ["cell"],
+        {"n_docs": "sum", "sum_dx": "sum", "sum_dy": "sum"},
+    )

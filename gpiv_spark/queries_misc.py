@@ -832,3 +832,60 @@ def _rollup_sql(d) -> str:
 @register("tile_rollup", _rollup_sql(DUCKDB))
 def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_both(spark, sf_dir, _rollup_sql(SPARK))
+
+
+# --- salted_cell_stats: hot-cell skew through the salted kernel path --------
+# SURVEY §7.3's skew promise, made falsifiable: 50% of docs (even ids)
+# collapse onto ONE point -> one hot fine cell holding half the table.
+# The two-stage salted applyInPandas kernel (operators/salting.py) must
+# split that group into n_salt bounded Python calls and still merge to
+# EXACT per-cell statistics; the physical plan shows the salted
+# groupBy(cell, _salt) ahead of the merge groupBy(cell).
+
+_HOT_DX, _HOT_DY = 100.25, 200.75  # extent-relative hot point
+
+
+def _skew_xy(d, id_col: str) -> tuple[str, str]:
+    x = geocode.x_expr(d, id_col)
+    y = geocode.y_expr(d, id_col)
+    xs = f"(CASE WHEN {id_col} % 2 = 0 THEN {geocode.X0 + _HOT_DX!r} ELSE {x} END)"
+    ys = f"(CASE WHEN {id_col} % 2 = 0 THEN {geocode.Y0 + _HOT_DY!r} ELSE {y} END)"
+    return xs, ys
+
+
+def _salted_oracle(d) -> str:
+    from gpiv_spark.functions import cells as _cells
+
+    xs, ys = _skew_xy(d, "doc_id")
+    cell = _cells.zcell_expr(d, xs, ys, 5)
+    return f"""
+    SELECT cell, count(*) AS n_docs,
+           round(sum(dx), 5) AS sum_dx, round(sum(dy), 5) AS sum_dy
+    FROM (
+      SELECT {cell} AS cell, {xs} - {geocode.X0!r} AS dx,
+             {ys} - {geocode.Y0!r} AS dy
+      FROM documents
+    ) t GROUP BY cell
+    """
+
+
+@register("salted_cell_stats", _salted_oracle(DUCKDB))
+def q_salted_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpiv_spark.functions import cells as _cells
+    from gpiv_spark.operators.salting import salted_cell_stats
+
+    d = SPARK
+    xs, ys = _skew_xy(d, "doc_id")
+    cell = _cells.zcell_expr(d, xs, ys, 5)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.expr(cell).alias("cell"),
+        F.expr(f"{xs} - {geocode.X0!r}").alias("dx"),
+        F.expr(f"{ys} - {geocode.Y0!r}").alias("dy"),
+    )
+    out = salted_cell_stats(docs, n_salt=16)
+    return out.select(
+        "cell", "n_docs",
+        F.round("sum_dx", 5).alias("sum_dx"),
+        F.round("sum_dy", 5).alias("sum_dy"),
+    )

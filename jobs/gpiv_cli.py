@@ -79,7 +79,11 @@ def cmd_piv(args) -> None:
         # two-pass semantics, one pipeline: A4 bias from the fused columns
         piv = piv.cache()
         bias = bias_variance_fused(piv)
-        piv_out = add_bias_variance(piv.drop("bias_dx", "bias_dy"), bias)
+        # bias-only rows (main guards failed, self-pass survived) carry
+        # NaN main fields — they feed the bias variance but not vectors
+        piv_out = add_bias_variance(
+            piv.drop("bias_dx", "bias_dy").filter(~F.isnan("dx_px")), bias
+        )
     else:
         piv_out = piv
     # reference writes single JSON files (piv_functions.py:329-375); the

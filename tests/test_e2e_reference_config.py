@@ -71,6 +71,49 @@ def test_fused_bias_equals_two_pass(spark, ref_case):
     np.testing.assert_allclose(bv["y_bias_variance"], want["y_bias_variance"])
 
 
+def test_fused_bias_survives_after_raster_nodata(spark, ref_case):
+    """A tile whose AFTER window fails the F1/F2 guards must still feed
+    the fused bias sample set (the reference derives bias from a
+    standalone before-vs-before run whose guards never see the after
+    raster): the fused result keeps a bias-only row with NaN main
+    fields, and bias_variance_fused equals the two-pass value over ALL
+    tiles — not just the main-surviving ones."""
+    from gpiv_spark.operators.piv import bias_variance_fused, run_piv_arrays
+    from gpiv_spark.sources.raster import translated_pair
+
+    before, after = translated_pair(478, (3, -2), seed=42)
+    after = after.copy()
+    after[0, 0] = np.nan  # poisons exactly tile (0,0)'s search window
+    cfg = PivConfig()
+
+    fused = (
+        run_piv_arrays(spark, before, after, cfg, with_bias=True)
+        .toPandas().sort_values(["tile_r", "tile_c"]).reset_index(drop=True)
+    )
+    assert len(fused) == 25  # tile (0,0) is bias-only, not dropped
+    row00 = fused[(fused.tile_r == 0) & (fused.tile_c == 0)].iloc[0]
+    assert np.isnan(row00["dx_px"]) and np.isnan(row00["peak_ncc"])
+    assert not np.isnan(row00["bias_dx"])
+
+    main = run_piv_arrays(spark, before, after, cfg).toPandas()
+    assert len(main) == 24  # the plain result still drops the tile
+
+    bdf, _ = ref_case
+    self_piv = (
+        run_piv(spark, bdf, bdf, cfg)
+        .toPandas().sort_values(["tile_r", "tile_c"]).reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(fused["bias_dx"], self_piv["dx_px"])
+    np.testing.assert_array_equal(fused["bias_dy"], self_piv["dy_px"])
+
+    bv = bias_variance_fused(
+        run_piv_arrays(spark, before, after, cfg, with_bias=True)
+    ).collect()[0]
+    want = bias_variance(run_piv(spark, bdf, bdf, cfg)).collect()[0]
+    np.testing.assert_allclose(bv["x_bias_variance"], want["x_bias_variance"])
+    np.testing.assert_allclose(bv["y_bias_variance"], want["y_bias_variance"])
+
+
 def test_two_pass_bias_and_sinks(spark, ref_case):
     bdf, adf = ref_case
     cfg = PivConfig()

@@ -63,3 +63,56 @@ def test_ring1_insufficient_but_adaptive_exact(spark):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # every query got its full k — the adaptive growth honored the contract
     assert (got.groupby("doc_id").size() == K).all()
+
+
+def test_deep_rings_no_recompute_blowup(spark):
+    """Ultra-sparse fixture forcing >=3 ring-doubling rounds: the result
+    stays exact, and per-round localCheckpoint-ing keeps the final plan
+    free of any re-derived candidate generation (no Window / no
+    broadcast-nested-loop from earlier rounds)."""
+    import numpy as np
+
+    res = 6  # 64x64 cells, ~50 points -> most 1-rings empty
+    pts = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter("doc_id % 97 = 0")
+        .select(
+            "doc_id",
+            F.expr(geocode.x_expr(d, "doc_id")).alias("x"),
+            F.expr(geocode.y_expr(d, "doc_id")).alias("y"),
+        )
+    )
+    stats = {}
+    # max_ring = n: a corner query may need the full grid width to reach
+    # its k-th neighbor on an ultra-sparse fixture
+    done = knn_op.knn_kring_adaptive(pts, k=K, res=res, id_col="doc_id",
+                                     max_ring=1 << res, stats=stats)
+    got = done.toPandas().sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+    assert stats["rounds"] >= 3, stats
+    assert stats["unsettled"] == 0, stats
+
+    pdf = pts.toPandas()
+    xs, ys, ids = pdf.x.to_numpy(), pdf.y.to_numpy(), pdf.doc_id.to_numpy()
+    rows = []
+    for i in range(len(pdf)):
+        dsq = (xs - xs[i]) ** 2 + (ys - ys[i]) ** 2
+        order = sorted(
+            (float(dsq[j]), int(ids[j])) for j in range(len(pdf)) if j != i
+        )[:K]
+        rows.extend(
+            (int(ids[i]), nbr, r, ds) for r, (ds, nbr) in enumerate(order, 1)
+        )
+    exp = (
+        pd.DataFrame(rows, columns=["doc_id", "nbr", "rnk", "dist_sq"])
+        .sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # lineage truncation: every union arm starts from a materialized RDD,
+    # so the plan re-derives NO round's ranking or candidate join
+    plan = done._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "NestedLoop" not in plan, plan
+    np.testing.assert_array_equal(
+        np.sort(got["doc_id"].unique()), np.sort(pdf["doc_id"].to_numpy())
+    )

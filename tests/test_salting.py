@@ -59,6 +59,39 @@ def test_salted_kernel_matches_unsalted(spark):
     )
 
 
+def test_salted_cell_stats_operator(spark):
+    """The packaged salted-kernel operator: exact vs a plain groupBy agg
+    on a 50%-hot-cell fixture, and the physical plan shows the salted
+    stage (groupBy cell,_salt kernel) feeding the merge groupBy(cell)."""
+    from gpiv_spark.operators.salting import salted_cell_stats
+
+    docs = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(
+            F.pmod(F.xxhash64("id"), F.lit(500))
+        ).alias("cell"),
+        (F.col("id") % 89).cast("double").alias("dx"),
+        (F.col("id") % 83).cast("double").alias("dy"),
+    )
+    got = (
+        salted_cell_stats(docs, n_salt=16)
+        .toPandas().sort_values("cell").reset_index(drop=True)
+    )
+    want = (
+        docs.groupBy("cell").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dx").alias("sum_dx"), F.sum("dy").alias("sum_dy"),
+        ).toPandas().sort_values("cell").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=1e-12)
+    assert got.loc[got.cell == 7, "n_docs"].iloc[0] >= 50_000
+
+    plan = salted_cell_stats(docs, n_salt=16)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "_salt" in plan  # the kernel stage is keyed on (cell, _salt)
+    assert "FlatMapGroupsInPandas" in plan
+
+
 def test_salt_bounds_hot_group(spark):
     df = _skewed(spark)
     salted = with_salt(df, ["doc_id"], N_SALT)

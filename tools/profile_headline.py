@@ -47,8 +47,9 @@ def main():
 
     from gpiv_spark.session import get_spark
 
+    full = os.sched_getaffinity(0)
     for cpus in [int(a) for a in (sys.argv[1:] or ["8", "2"])]:
-        os.sched_setaffinity(0, set(range(32 - cpus, 32)))
+        bench.pin_high_cores(cpus)
         spark = get_spark(f"prof-{cpus}", cpus=cpus,
                           shuffle_partitions=2 * cpus)
         try:
@@ -69,7 +70,7 @@ def main():
         finally:
             spark.stop()
             SparkSession._instantiatedSession = None
-            os.sched_setaffinity(0, set(range(32)))
+            os.sched_setaffinity(0, full)
 
 
 if __name__ == "__main__":
