@@ -452,13 +452,14 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- media_features: multimodal stub pipeline --------------------------------
-# Spans-shaped docs -> explode media spans -> mapInPandas "decode" stub
-# (deterministic fake: real decode needs image/audio libs absent here;
-# the Spark-side plumbing — schema, batching, partitioning — is real).
-# The fake features are a pure function of the media_ref's numeric id,
-# so the oracle replays the fixture's generative formula in SQL and the
-# gate hashes the stub pipeline end-to-end (explode, filter,
-# mapInPandas batch shape, aggregate).
+# Spans-shaped docs -> explode media spans -> attach container bytes
+# (deterministic fixture standing in for the Iceberg binary column) ->
+# mapInPandas REAL decode: RIFF/PCM WAV and 24-bit BMP parsed from
+# actual bytes in pure NumPy (sources/media.py — no codec library
+# needed for these formats). The fixture SIGNAL is a pure integer
+# function of the media id, so the oracle replays every decoded
+# feature — container byte counts included — in closed-form SQL; a
+# header-parsing bug on either side breaks the hash.
 
 _MEDIA_ORACLE = """
     WITH nn AS (
@@ -470,14 +471,43 @@ _MEDIA_ORACLE = """
     s AS (SELECT d.i, CAST(j.range AS BIGINT) AS j
           FROM d CROSS JOIN range(8) j
           WHERE CAST(j.range AS BIGINT) < 1 + (d.i * 7919) % 8),
-    m AS (SELECT CASE WHEN (i + j * 13) % 3 = 1 THEN 'image'
+    m AS (SELECT i, j,
+                 CASE WHEN (i + j * 13) % 3 = 1 THEN 'image'
                       ELSE 'audio' END AS kind,
                  (i * 131 + j) % 9973 AS mnum
-          FROM s WHERE (i + j * 13) % 3 <> 0)
+          FROM s WHERE (i + j * 13) % 3 <> 0),
+    a AS (SELECT i, j, mnum, 800 + mnum % 1600 AS n
+          FROM m WHERE kind = 'audio'),
+    audio_feat AS (
+      SELECT a.i, a.j, 44 + 2 * a.n AS n_bytes,
+             sqrt(CAST(sum(
+               ((a.mnum * 31 + CAST(t.range AS BIGINT) * 17) % 2001 - 1000)
+               * ((a.mnum * 31 + CAST(t.range AS BIGINT) * 17) % 2001 - 1000)
+             ) AS DOUBLE) / a.n) AS feat
+      FROM a JOIN range(2400) t ON CAST(t.range AS BIGINT) < a.n
+      GROUP BY a.i, a.j, a.n
+    ),
+    im AS (SELECT i, j, mnum, 8 + mnum % 24 AS w, 8 + (mnum // 7) % 24 AS h
+           FROM m WHERE kind = 'image'),
+    image_feat AS (
+      SELECT im.i, im.j,
+             54 + im.h * ((3 * im.w + 3) // 4 * 4) AS n_bytes,
+             CAST(sum((im.mnum + CAST(r.range AS BIGINT) * 7
+                       + CAST(c.range AS BIGINT) * 3) % 256) AS DOUBLE)
+               / (im.w * im.h) AS feat
+      FROM im
+      JOIN range(32) r ON CAST(r.range AS BIGINT) < im.h
+      JOIN range(32) c ON CAST(c.range AS BIGINT) < im.w
+      GROUP BY im.i, im.j, im.w, im.h
+    )
     SELECT kind, CAST(count(*) AS BIGINT) AS n_media,
-           round(avg(CAST((mnum * 73856093) % 1000 AS DOUBLE) / 1000.0), 6)
-             AS avg_feat
-    FROM m GROUP BY kind
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           round(avg(feat), 6) AS avg_feat
+    FROM (
+      SELECT 'audio' AS kind, n_bytes, feat FROM audio_feat
+      UNION ALL
+      SELECT 'image' AS kind, n_bytes, feat FROM image_feat
+    ) u GROUP BY kind
 """
 
 
@@ -487,21 +517,21 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from gpiv_spark import fixtures
+    from gpiv_spark.sources import media as md
 
     n_docs = max(200, spark.read.parquet(f"{sf_dir}/documents.parquet").count() // 2)
     docs = fixtures.spans_documents(spark, n_docs=min(n_docs, 1000))
     media = (
         docs.select("doc_id", F.explode("spans").alias("s"))
         .filter(F.col("s.kind") != "text")
-        .select("doc_id", "s.kind", "s.media_ref", "s.offset")
+        .select("doc_id", "s.kind", "s.media_ref")
     )
 
-    def decode_stub(batches):
+    def fetch_blob(batches):
+        # Iceberg-binary-column stand-in: synthesize the container bytes
+        # for each media_ref (deterministic fixture, sources/media.py);
+        # a real deployment selects the blob column off the table here.
         for pdf in batches:
-            # STUB: container lacks image/audio codecs. A real deployment
-            # decodes pdf["media_ref"] bytes here; we emit deterministic
-            # fake features derived from the ref's numeric id so the full
-            # Spark plumbing is exercised AND oracle-checkable.
             mnum = (
                 pdf["media_ref"].astype(str)
                 .str.extract(r"/(\d+)\.bin$")[0]
@@ -511,19 +541,24 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "kind": pdf["kind"],
-                    "n_bytes_fake": (mnum * 2654435761) % 100_000,
-                    "feat_mean": ((mnum * 73856093) % 1000).astype("float64")
-                    / 1000.0,
+                    "blob": [
+                        md.synth_media_blob(k, int(m))
+                        for k, m in zip(pdf["kind"], mnum)
+                    ],
                 }
             )
 
-    feats = media.mapInPandas(
-        decode_stub,
-        "doc_id string, kind string, n_bytes_fake long, feat_mean double",
+    blobs = media.mapInPandas(
+        fetch_blob, "doc_id string, kind string, blob binary"
+    )
+    feats = blobs.mapInPandas(
+        md.decode_features_batches,
+        "doc_id string, kind string, n_bytes long, feat double",
     )
     return feats.groupBy("kind").agg(
         F.count("*").alias("n_media"),
-        F.round(F.avg("feat_mean"), 6).alias("avg_feat"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("feat"), 6).alias("avg_feat"),
     )
 
 

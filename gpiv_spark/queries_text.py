@@ -85,6 +85,52 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_both(spark, sf_dir, _lang_sql(SPARK))
 
 
+# --- lang_id_planted: the heuristic must DISCRIMINATE ------------------------
+# The testdata's text is English-ish under every `lang` label, so the
+# plain lang_id gate can only prove parity. This fixture PLANTS the
+# language: each doc gets marker-rich text in one of en/de/es/fr
+# (derived from doc_id, rendered identically in both dialects), so the
+# marker heuristic is falsifiable — tests/test_lang_planted.py asserts
+# accuracy 1.0 against the planted labels, and the gate hashes the
+# per-language confusion counts.
+
+PLANT_SENT = {
+    "en": "the cat and the dog of the house ",
+    "de": "der hund und die katze der stadt ",
+    "es": "el perro los gatos de la casa ",
+    "fr": "le chien les chats des villes ",
+}
+
+
+def _planted_sql(d) -> str:
+    langs = list(PLANT_SENT)
+    lang_case = ("CASE doc_id % 4 " + " ".join(
+        f"WHEN {i} THEN '{lang}'" for i, lang in enumerate(langs)
+    ) + " END")
+    text_case = ("CASE doc_id % 4 " + " ".join(
+        f"WHEN {i} THEN repeat('{PLANT_SENT[lang]}', "
+        f"CAST(1 + doc_id % 3 AS INT))" for i, lang in enumerate(langs)
+    ) + " END")
+    scores = tx.lang_score_exprs("(' ' || text || ' ')")
+    best = f"greatest({', '.join(scores.values())})"
+    pred = "CASE " + " ".join(
+        f"WHEN {scores[lang]} = {best} THEN '{lang}'" for lang in scores
+    ) + " ELSE 'und' END"
+    return f"""
+    WITH planted AS (
+      SELECT doc_id, {lang_case} AS true_lang, {text_case} AS text
+      FROM documents
+    )
+    SELECT true_lang, ({pred}) AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM planted GROUP BY true_lang, ({pred})
+    """
+
+
+@register("lang_id_planted", _planted_sql(DUCKDB))
+def q_lang_id_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_both(spark, sf_dir, _planted_sql(SPARK))
+
+
 # --- document fingerprint (order-sensitive rolling hash) ---------------------
 
 def _fp_sql(d) -> str:

@@ -26,6 +26,10 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=None,
                     help="read doc_ids from this dir's documents.parquet "
                          "instead of synthesizing")
+    ap.add_argument("--las", default=None,
+                    help="read the point cloud from this LAS path/glob "
+                         "(uncompressed 1.2-1.4, TPU extra-byte dims) "
+                         "instead of synthesizing --points")
     ap.add_argument("--broadcast-budget-mb", type=int, default=1024,
                     help="max broadcast TIN index size; larger TINs take "
                          "the shuffle equi-join path")
@@ -49,9 +53,17 @@ def main() -> None:
     )
     from gpiv_spark.plans import lineage
 
-    fp = f"points={args.points}-v1"
+    fp = (f"las={args.las}-v1" if args.las else f"points={args.points}-v1")
 
     def build_points():
+        if args.las:
+            # S1 on the reference's real format (run_test_v1.py:43-58):
+            # distributed binaryFile scan + worker-side parse
+            from gpiv_spark.sources.las import las_table
+
+            return las_table(spark, args.las).withColumnRenamed(
+                "point_id", "pid"
+            )
         pts = spark.range(args.points).select(F.col("id").alias("pid"))
         px = geocode.xq_expr(d, "pid")
         py = geocode.yq_expr(d, "pid")
@@ -78,8 +90,18 @@ def main() -> None:
     # shard; the driver only concatenates — never a toArrow() of the
     # triangle table). Large TIN -> the triangle table stays distributed
     # and docs equi-join it on the fine cell.
+    if args.las:
+        # estimate the point count from file metadata only (no scan):
+        # format-0 record + 6 double extra dims = 68 bytes/point
+        est_bytes = (
+            spark.read.format("binaryFile").load(args.las)
+            .agg(F.sum("length")).collect()[0][0] or 0
+        )
+        n_pts_est = est_bytes // 68
+    else:
+        n_pts_est = args.points
     use_broadcast = (
-        args.points * PACK_BYTES_PER_POINT
+        n_pts_est * PACK_BYTES_PER_POINT
         <= args.broadcast_budget_mb * (1 << 20)
     )
 

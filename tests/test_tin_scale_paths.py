@@ -218,6 +218,31 @@ def test_run_pipeline_entry_switch(spark, monkeypatch, tmp_path, capsys):
     assert r3["n_docs_out"] == r1["n_docs_out"]
     np.testing.assert_allclose(r3["mean_var"], r1["mean_var"], rtol=1e-6)
 
+    # LAS-sourced points through the same entry (S1 on the real format)
+    from gpiv_spark import fixtures
+    from gpiv_spark.sources import las as lasmod
+
+    cloud = fixtures.points_cloud(n=4000, seed=5, planar=True)
+    (tmp_path / "pts.las").write_bytes(
+        lasmod.write_las(
+            cloud["x"].to_numpy(), cloud["y"].to_numpy(),
+            cloud["z"].to_numpy(),
+            extra={
+                eb: cloud[t].to_numpy()
+                for eb, t in zip(
+                    ["VarianceX", "VarianceY", "VarianceZ",
+                     "CovarianceXY", "CovarianceXZ", "CovarianceYZ"],
+                    ["var_x", "var_y", "var_z",
+                     "cov_xy", "cov_xz", "cov_yz"],
+                )
+            },
+        )
+    )
+    r4 = run(["--docs", "20000", "--checkpoint", str(tmp_path / "ck2"),
+              "--las", str(tmp_path / "pts.las")])
+    assert r4["mode"] == "bcast"
+    assert r4["n_docs_out"] > 0.9 * 20000
+
 
 def test_propagate_auto_switches_paths(spark, docs):
     """Budget above/below the estimated pack size selects broadcast vs
