@@ -58,6 +58,27 @@ class Dialect:
     def ntokens(self, x: str) -> str:
         raise NotImplementedError
 
+    def regex_matches(self, x: str, pattern: str) -> str:
+        """List of all full regex matches. Patterns must stay in the
+        char-class + alternation subset both Java regex and RE2 parse
+        identically."""
+        raise NotImplementedError
+
+    def list_len(self, lst: str) -> str:
+        raise NotImplementedError
+
+    def fold_sum_big(self, lst: str, var: str, term: str) -> str:
+        """sum over list elements of an int64 ``term`` in variable ``var``."""
+        raise NotImplementedError
+
+    def last_ignore_nulls(self, expr: str, over: str) -> str:
+        """last_value(expr) IGNORE NULLS OVER over — spelling differs."""
+        raise NotImplementedError
+
+    def epoch_us(self, ts: str) -> str:
+        """Timestamp -> int64 microseconds since epoch (exact)."""
+        raise NotImplementedError
+
     def range_sql(self, n: int, alias: str, col: str = "i") -> str:
         """Derived table of integers 0..n-1 named alias(col)."""
         raise NotImplementedError
@@ -84,6 +105,25 @@ class SparkDialect(Dialect):
     def ntokens(self, x):
         return f"size(split({x}, ' '))"
 
+    def regex_matches(self, x, pattern):
+        return f"regexp_extract_all({x}, '{pattern}', 0)"
+
+    def list_len(self, lst):
+        return f"size({lst})"
+
+    def fold_sum_big(self, lst, var, term):
+        return (f"aggregate({lst}, CAST(0 AS BIGINT), "
+                f"(acc, {var}) -> acc + CAST({term} AS BIGINT))")
+
+    def last_ignore_nulls(self, expr, over):
+        return f"last_value({expr}, true) OVER {over}"
+
+    def epoch_us(self, ts):
+        # parquet timestamps arrive as TIMESTAMP_NTZ; the session tz is
+        # pinned to UTC (session.py) so the cast matches DuckDB's
+        # naive-as-UTC epoch_us exactly
+        return f"unix_micros(CAST({ts} AS TIMESTAMP))"
+
     def range_sql(self, n, alias, col="i"):
         return f"(SELECT CAST(id AS BIGINT) AS {col} FROM range({n})) {alias}"
 
@@ -108,6 +148,23 @@ class DuckDialect(Dialect):
 
     def ntokens(self, x):
         return f"len(string_split({x}, ' '))"
+
+    def regex_matches(self, x, pattern):
+        return f"regexp_extract_all({x}, '{pattern}')"
+
+    def list_len(self, lst):
+        return f"len({lst})"
+
+    def fold_sum_big(self, lst, var, term):
+        return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+                f"list_transform({lst}, {var} -> CAST({term} AS BIGINT))), "
+                f"(acc, v) -> acc + v)")
+
+    def last_ignore_nulls(self, expr, over):
+        return f"last_value({expr} IGNORE NULLS) OVER {over}"
+
+    def epoch_us(self, ts):
+        return f"epoch_us({ts})"
 
     def range_sql(self, n, alias, col="i"):
         return f"(SELECT CAST(range AS BIGINT) AS {col} FROM range({n})) {alias}"

@@ -234,14 +234,17 @@ def _assemble(pdf: pd.DataFrame, ds: str, r_lo: int, c_lo: int,
     sub = pdf[pdf["dataset"] == ds]
     if sub.empty:
         return None
-    for _, row in sub.iterrows():
-        arr = np.frombuffer(row["data"], dtype=np.float64).reshape(
-            row["h"], row["w"]
-        )
-        rr, cc = int(row["r0"]) - r_lo, int(row["c0"]) - c_lo
+    # plain zipped ndarrays: iterrows built a Series per patch, ~30x the
+    # cost of this scatter for the ~25 patches each tile gathers
+    for data, h, w, r0, c0 in zip(
+        sub["data"].to_numpy(), sub["h"].to_numpy(), sub["w"].to_numpy(),
+        sub["r0"].to_numpy(), sub["c0"].to_numpy(),
+    ):
+        arr = np.frombuffer(data, dtype=np.float64).reshape(h, w)
+        rr, cc = int(r0) - r_lo, int(c0) - c_lo
         rs, cs = max(0, -rr), max(0, -cc)
-        re = min(row["h"], size_r - rr)
-        ce = min(row["w"], size_c - cc)
+        re = min(int(h), size_r - rr)
+        ce = min(int(w), size_c - cc)
         if re <= rs or ce <= cs:
             continue
         out[rr + rs : rr + re, cc + cs : cc + ce] = arr[rs:re, cs:ce]

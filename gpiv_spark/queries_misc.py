@@ -924,3 +924,104 @@ def q_salted_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_dx", 5).alias("sum_dx"),
         F.round("sum_dy", 5).alias("sum_dy"),
     )
+
+
+# --- asof_join: latest-quote-per-trade over the events stream ---------------
+# The classic time-series join Spark has no built-in for: split events
+# into quotes (even event_id) and trades (odd), and give every trade
+# the LATEST same-user quote with quote.ts <= trade.ts. Physical shape
+# is the distributed as-of merge: ONE window per user over the merged
+# stream (quotes sort before trades at equal ts; latest quote wins by
+# event_id) — no per-key loop, no range cross-join; at 100 TB this is
+# a single shuffle on user_id with the sessionize salting caveat.
+# tests/test_asof.py cross-checks the template against DuckDB's NATIVE
+# ASOF JOIN — an independent implementation of the semantics.
+
+
+def _asof_sql(d) -> str:
+    over = ("(PARTITION BY user_id ORDER BY ts, event_id % 2, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    qid = d.last_ignore_nulls(
+        "CASE WHEN event_id % 2 = 0 THEN event_id END", over)
+    qval = d.last_ignore_nulls(
+        "CASE WHEN event_id % 2 = 0 THEN value END", over)
+    return f"""
+    WITH w AS (
+      SELECT user_id, event_id, ts, event_id % 2 AS tag,
+             {qid} AS quote_id, {qval} AS quote_value
+      FROM events
+    )
+    SELECT user_id, event_id AS trade_id, quote_id, quote_value
+    FROM w WHERE tag = 1
+    """
+
+
+@register("asof_join", _asof_sql(DUCKDB))
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    return spark.sql(_asof_sql(SPARK))
+
+
+# --- range_join_events: interval-containment join, bucketed at scale --------
+# Spark has no native range join either: even events open an interval
+# [ts, ts + (1 + event_id % 20) minutes], odd events probe it (same
+# user, probe.ts inside). The engine runs the BUCKETED plan — intervals
+# explode to the epoch-minute buckets they cover (bounded fan-out
+# <= 21), probes carry their single bucket, equi-join on (user_id,
+# minute) then exact-refine — the same equi+refine discipline as
+# pip_cells; no theta join ever forms. A probe owns exactly one bucket,
+# so the bucketed join yields each (interval, probe) pair at most once
+# — no dedup pass. The oracle is the brute theta join on the SAME
+# shared interval arithmetic (exact int64 microseconds). At 100 TB the
+# shuffle carries (user, minute) keys only.
+
+_RJ_BUCKET_US = 60_000_000  # 1-minute buckets
+
+
+def _rj_ctes(d) -> str:
+    e = d.epoch_us("ts")
+    return f"""
+    ivals AS (
+      SELECT user_id, event_id AS interval_id, {e} AS s_us,
+             {e} + (1 + event_id % 20) * 60000000 AS e_us
+      FROM events WHERE event_id % 2 = 0
+    ),
+    probes AS (
+      SELECT user_id, event_id AS probe_id, {e} AS p_us
+      FROM events WHERE event_id % 2 = 1
+    )
+    """
+
+
+_RJ_ORACLE = f"""
+    WITH {_rj_ctes(DUCKDB)}
+    SELECT i.user_id, p.probe_id, i.interval_id
+    FROM ivals i JOIN probes p
+      ON i.user_id = p.user_id AND p.p_us BETWEEN i.s_us AND i.e_us
+"""
+
+
+@register("range_join_events", _RJ_ORACLE)
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = SPARK
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    b = _RJ_BUCKET_US
+    return spark.sql(f"""
+    WITH {_rj_ctes(d)},
+    ibuck AS (
+      SELECT user_id, interval_id, s_us, e_us,
+             explode(sequence(s_us div {b}, e_us div {b})) AS m
+      FROM ivals
+    ),
+    pbuck AS (
+      SELECT user_id, probe_id, p_us, (p_us div {b}) AS m FROM probes
+    )
+    SELECT i.user_id, p.probe_id, i.interval_id
+    FROM ibuck i JOIN pbuck p
+      ON i.user_id = p.user_id AND i.m = p.m
+     AND p.p_us BETWEEN i.s_us AND i.e_us
+    """)

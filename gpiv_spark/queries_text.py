@@ -43,6 +43,37 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_both(spark, sf_dir, _token_stats_sql(SPARK))
 
 
+# --- BPE-ish regex token counting --------------------------------------------
+# The whitespace count above is the cheap path; this is the "BPE-ish
+# regex" variant the pipeline spec calls for: word runs and punctuation
+# become separate tokens, plus a subword estimate (ceil(len/4) per word
+# — the ~4-chars-per-token rule of byte-pair vocabularies). Pure list
+# expressions — JVM-side higher-order functions in Spark, list_* in
+# DuckDB; the regex stays in the char-class subset Java and RE2 parse
+# identically.
+
+_WORD_RE = "[A-Za-z0-9]+"
+_PUNCT_RE = "[^A-Za-z0-9 ]"
+
+
+def _token_regex_sql(d) -> str:
+    words = d.regex_matches("text", _WORD_RE)
+    punct = d.regex_matches("text", _PUNCT_RE)
+    sub = d.fold_sum_big(words, "w", "ceil(length(w) / 4.0)")
+    return f"""
+    SELECT doc_id,
+           CAST({d.list_len(words)} AS BIGINT) AS n_word_tokens,
+           CAST({d.list_len(punct)} AS BIGINT) AS n_punct_tokens,
+           CAST({sub} AS BIGINT) AS n_subword_est
+    FROM documents WHERE length(text) > 0
+    """
+
+
+@register("token_regex", _token_regex_sql(DUCKDB))
+def q_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_both(spark, sf_dir, _token_regex_sql(SPARK))
+
+
 # --- quality score ----------------------------------------------------------
 
 def _quality_sql(d) -> str:

@@ -128,3 +128,25 @@ def test_propagate_probe_is_narrow(spark):
     # the narrow columns; var_x_1 etc. appear only once (payload join side)
     probe_section = plan.split("min(tri_id")[0]
     assert "var_x_1" not in probe_section.split("Project")[-1]
+
+
+def test_range_join_is_bucketed_not_theta(spark):
+    """The interval join's physical plan must be the bucketed equi-join
+    (SortMerge/Hash on user_id+minute), never a nested-loop theta join
+    — the shape that survives 100 TB."""
+    from gpiv_spark.queries_misc import q_range_join_events
+
+    plan = _plan(q_range_join_events(spark, SF))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # an equi-join is present
+
+
+def test_asof_join_single_window_no_join(spark):
+    """The as-of join compiles to ONE window over the merged stream —
+    zero Join operators, one Exchange on user_id."""
+    from gpiv_spark.queries_misc import q_asof_join
+
+    plan = _plan(q_asof_join(spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
