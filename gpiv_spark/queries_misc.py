@@ -1025,3 +1025,44 @@ def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON i.user_id = p.user_id AND i.m = p.m
      AND p.p_us BETWEEN i.s_us AND i.e_us
     """)
+
+
+# --- dedup_components: near-dup clusters from LSH pairs (CC) -----------------
+# Pairs are not the dedup endgame — clusters are: every doc needs a
+# canonical id = min doc id reachable through the near-dup edge set.
+# The engine runs distributed min-label propagation over the SAME
+# banded-LSH edges as minhash_lsh_pairs (operators/components.py,
+# O(diameter) rounds, per-round localCheckpoint); the oracle computes
+# the identical fixpoint with a recursive CTE — an independent
+# formulation of reachability, not a replay of the engine's loop.
+
+_CC_ORACLE = f"""
+    WITH RECURSIVE {_sig_cte(DUCKDB)},
+    edges AS (
+      SELECT a.doc_id AS ea, b.doc_id AS eb
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       AND ({' OR '.join(f"(a.m{i} = b.m{i} AND a.m{j} = b.m{j})" for i, j in _BANDS)})
+    ),
+    sym AS (
+      SELECT ea AS src, eb AS dst FROM edges
+      UNION
+      SELECT eb AS src, ea AS dst FROM edges
+    ),
+    walk(node, comp) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.src, w.comp FROM walk w JOIN sym s ON s.dst = w.node
+    )
+    SELECT node AS doc_id, min(comp) AS component
+    FROM walk GROUP BY node
+"""
+
+
+@register("dedup_components", _CC_ORACLE)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpiv_spark.operators.components import connected_components
+
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs, a="doc_a", b="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
