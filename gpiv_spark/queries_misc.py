@@ -672,19 +672,24 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- cosine_neardup_lsh: the SCALE path for embedding near-dup --------------
-# Banded hyperplane LSH (6 bands x 2 bits from 12 deterministic
-# hyperplanes): explode bands -> equi-join on (band, value) -> distinct
-# candidate pairs -> exact cosine refine. Near-duplicates are PLANTED
-# (a deterministically perturbed copy of each vec_id < 50, cosine
-# ~0.999 to its source; the background tops out at 0.51), so recall at
-# the 0.9 threshold is 1 with overwhelming margin (per-pair miss
-# ~(1-p^2)^6 ~ 5e-7 at p=0.955) and the gate can demand EQUALITY with
-# the quadratic baseline — which is hereby demoted to oracle-only.
-# At 10^12 docs the same plan never materializes the cross product:
-# only same-band buckets join (cf. minhash_lsh_pairs).
+# Banded hyperplane LSH (operators/embed_lsh.py: 8 bands x 16 bits,
+# NumPy X @ H signatures inside mapInPandas): equi-join on (band, bits)
+# -> distinct candidate pairs -> vectorized exact-cosine refine.
+# Near-duplicates are PLANTED (a deterministically perturbed copy of
+# each vec_id < 50, cosine ~0.999 to its source; the background tops
+# out at ~0.51), so recall at the 0.9 threshold is 1 with overwhelming
+# margin (per-pair miss 1-(1-(1-p^16)^8) ~ 3e-6 at per-plane agreement
+# p~0.986, verified empirically at gate and bench SF) and the gate can
+# demand EQUALITY with the quadratic baseline — which is hereby demoted
+# to oracle-only. Background pairs collide in a band with prob ~2^-16,
+# so candidates stay per-mille of the cross product; at 10^12 docs the
+# plan never materializes that cross product — only same-band buckets
+# join (cf. minhash_lsh_pairs). Round 2 used 6 bands x 2 bits rendered
+# as interpreted HOF lambdas: the bands admitted ~80% of ALL pairs and
+# the query cost 8.3 s at bench SF; this kernel form runs the same
+# contract in well under a second.
 
 _NEARDUP_LSH_T = 0.9
-_LSH_NH2 = 12  # hyperplanes -> 6 bands x 2 bits
 
 
 def _neardup_allv_cte(d) -> str:
@@ -711,42 +716,6 @@ def _neardup_allv_cte(d) -> str:
     )"""
 
 
-def _neardup_lsh_spark_sql() -> str:
-    d = SPARK
-    bands = ", ".join(
-        "named_struct('band', {b}, 'bv', "
-        "(CASE WHEN {h0} > 0 THEN 2 ELSE 0 END)"
-        " + (CASE WHEN {h1} > 0 THEN 1 ELSE 0 END))".format(
-            b=b, h0=_hyper(d, 2 * b), h1=_hyper(d, 2 * b + 1)
-        )
-        for b in range(_LSH_NH2 // 2)
-    )
-    dot = ("aggregate(zip_with(a.embedding, b.embedding, "
-           "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-           "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-    nrm = (lambda e: f"sqrt(aggregate({e}, CAST(0.0 AS DOUBLE), "
-           f"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
-    cos = f"({dot} / ({nrm('a.embedding')} * {nrm('b.embedding')}))"
-    return f"""
-    WITH {_neardup_allv_cte(SPARK)},
-    banded AS (
-      SELECT vec_id, bnd.band AS band, bnd.bv AS bv
-      FROM allv LATERAL VIEW explode(array({bands})) t AS bnd
-    ),
-    cand AS (
-      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-      FROM banded x JOIN banded y
-        ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id
-    )
-    SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM (
-      SELECT c.vec_a, c.vec_b, {cos} AS cosine
-      FROM cand c
-      JOIN allv a ON a.vec_id = c.vec_a
-      JOIN allv b ON b.vec_id = c.vec_b
-    ) t WHERE cosine >= {_NEARDUP_LSH_T!r}
-    """
-
-
 def _neardup_lsh_oracle() -> str:
     d = DUCKDB
     dot = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
@@ -768,10 +737,17 @@ def _neardup_lsh_oracle() -> str:
 
 @register("cosine_neardup_lsh", _neardup_lsh_oracle())
 def q_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpiv_spark.operators.embed_lsh import cosine_refine, lsh_candidate_pairs
+
     spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
         "embeddings"
     )
-    return spark.sql(_neardup_lsh_spark_sql())
+    # the planted-copy union shares its perturbation math with the oracle
+    allv = spark.sql(f"WITH {_neardup_allv_cte(SPARK)} SELECT * FROM allv")
+    cand = lsh_candidate_pairs(allv, n_bands=8, bits=16)
+    return cosine_refine(cand, allv).filter(
+        F.col("cosine") >= _NEARDUP_LSH_T
+    )
 
 
 # --- span_roundtrip: the north-rule span-sequence invariant at the gate ------
@@ -1066,3 +1042,143 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, a="doc_a", b="doc_b").select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )
+
+# --- dedup_canonical: the dedup ENDGAME — keep-best per cluster --------------
+# Components alone don't dedup; the pipeline must pick which document
+# SURVIVES each near-dup cluster. Canonical = highest quality_score
+# (queries_text._quality_sql — the SAME dialect template, so both
+# engines rank by bit-identical float math), ties broken by doc_id;
+# docs in no cluster are their own canonical. Engine: distributed CC
+# labels + a per-component window. Oracle: the recursive-CTE
+# reachability fixpoint + the same window in DuckDB. At 10^12 docs the
+# window partitions by component (clusters are small by construction),
+# so no skew beyond what the salted-window path already handles.
+
+def _canon_oracle() -> str:
+    from gpiv_spark.queries_text import _quality_sql
+
+    return f"""
+    WITH RECURSIVE {_sig_cte(DUCKDB)},
+    edges AS (
+      SELECT a.doc_id AS ea, b.doc_id AS eb
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       AND ({' OR '.join(f"(a.m{i} = b.m{i} AND a.m{j} = b.m{j})" for i, j in _BANDS)})
+    ),
+    sym AS (
+      SELECT ea AS src, eb AS dst FROM edges
+      UNION
+      SELECT eb AS src, ea AS dst FROM edges
+    ),
+    walk(node, comp) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.src, w.comp FROM walk w JOIN sym s ON s.dst = w.node
+    ),
+    comp AS (SELECT node, min(comp) AS component FROM walk GROUP BY node),
+    q AS (SELECT doc_id, quality FROM ({_quality_sql(DUCKDB)}) t),
+    labeled AS (
+      SELECT q.doc_id, COALESCE(c.component, q.doc_id) AS component, q.quality
+      FROM q LEFT JOIN comp c ON c.node = q.doc_id
+    )
+    SELECT doc_id, component,
+           first_value(doc_id) OVER (
+             PARTITION BY component ORDER BY quality DESC, doc_id
+           ) AS canonical_id,
+           doc_id = first_value(doc_id) OVER (
+             PARTITION BY component ORDER BY quality DESC, doc_id
+           ) AS is_canonical
+    FROM labeled
+    """
+
+
+@register("dedup_canonical", _canon_oracle())
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from gpiv_spark.operators.components import connected_components
+    from gpiv_spark.queries_text import _quality_sql
+
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, a="doc_a", b="doc_b")
+    quality = spark.sql(_quality_sql(SPARK)).select("doc_id", "quality")
+    labeled = (
+        quality.join(comp, quality["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", "doc_id").alias("component"),
+            "quality",
+        )
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return labeled.select(
+        "doc_id", "component",
+        F.first("doc_id").over(w).alias("canonical_id"),
+        (F.col("doc_id") == F.first("doc_id").over(w)).alias("is_canonical"),
+    )
+
+# --- stream_dedup: stateful streaming exact-dedup in the driver gate ---------
+# A later-arriving duplicate is PLANTED for every third document (ts
+# strictly after every original); the stateful operator
+# (streaming/dedup.py) must pick the ORIGINAL doc as first-seen — by
+# event time, not microbatch luck — and count the duplicate. State
+# closes via event-time watermark timeout (a far-future flush row
+# advances the watermark); the oracle is the closed form of the plant,
+# grouped by text because natural text collisions also merge.
+
+_STREAM_DEDUP_ORACLE = """
+    SELECT CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(count(*) + sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs,
+           CAST(length(text) AS BIGINT) AS len_chars
+    FROM documents GROUP BY text
+"""
+
+
+@register("stream_dedup", _STREAM_DEDUP_ORACLE)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from gpiv_spark.streaming.dedup import stream_dedup_first
+
+    schema = "doc_id long, text string, ts timestamp"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    epoch = "TIMESTAMP '2026-01-01 00:00:00'"
+    originals = docs.select(
+        "doc_id", "text",
+        F.expr(f"{epoch} + make_interval(0, 0, 0, 0, 0, 0, doc_id)").alias("ts"),
+    )
+    dups = docs.filter("doc_id % 3 = 0").select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text",
+        F.expr(
+            f"{epoch} + make_interval(0, 0, 0, 0, 0, 0, doc_id + 1000000)"
+        ).alias("ts"),
+    )
+    flush = spark.sql(
+        f"SELECT CAST(-1 AS BIGINT) AS doc_id, '__flush__' AS text, "
+        f"{epoch} + INTERVAL 400 DAYS AS ts"
+    )
+    work = Path(tempfile.mkdtemp(prefix="gate_sdedup_"))
+    try:
+        indir = work / "in"
+        originals.unionByName(dups).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(str(indir))
+        stream = spark.readStream.schema(schema).parquet(str(indir))
+        q = (
+            stream_dedup_first(stream, horizon="1 hour")
+            .writeStream.outputMode("append").format("memory")
+            .queryName("gate_stream_dedup")
+            .option("checkpointLocation", str(work / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        flush.write.mode("append").parquet(str(indir))
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.table("gate_stream_dedup").filter("first_doc >= 0")
