@@ -1182,3 +1182,103 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.table("gate_stream_dedup").filter("first_doc >= 0")
+
+# --- span_stats: per-document interleaved text+media span analytics ---------
+# The north-rule payload is INTERLEAVED spans (axes A+B): per doc,
+# kind mix, per-kind char totals, and the structural invariant that
+# every offset equals the reconstruction from the preceding spans
+# (offset_j = sum_{<j} (1 + len(text) + len(media_ref))). The engine
+# computes all of it from the ACTUAL span structs (posexplode + one
+# running-sum window); the oracle replays the fixture's generative
+# formula relationally — word lengths as a VALUES table, media-ref
+# lengths by digit counting — so a broken explode order, a mangled
+# offset, or a dropped span breaks the hash (cf. media_features).
+
+def _span_stats_oracle(n_docs: int = 500) -> str:
+    from gpiv_spark.fixtures import WORDS
+
+    wl = ", ".join(f"({i}, {len(w)})" for i, w in enumerate(WORDS))
+    return f"""
+    WITH wl(idx, wlen) AS (VALUES {wl}),
+    d AS (SELECT CAST(r.range AS BIGINT) AS i FROM range({n_docs}) r),
+    s AS (SELECT d.i, CAST(j.range AS BIGINT) AS j
+          FROM d CROSS JOIN range(8) j
+          WHERE CAST(j.range AS BIGINT) < 1 + (d.i * 7919) % 8),
+    t AS (SELECT i, j, (i * 31 + j * 17) % 16 AS k, (i + j) % 5 + 2 AS cnt
+          FROM s WHERE (i + j * 13) % 3 = 0),
+    tlen AS (
+      SELECT t.i, t.j, CAST(sum(w.wlen) + t.cnt - 1 AS BIGINT) AS text_len
+      FROM t JOIN range(6) tt ON CAST(tt.range AS BIGINT) < t.cnt
+             JOIN wl w ON w.idx = (t.k + CAST(tt.range AS BIGINT)) % 16
+      GROUP BY t.i, t.j, t.cnt
+    ),
+    m AS (
+      SELECT i, j,
+             20 + (CASE WHEN i % 97 < 10 THEN 1 ELSE 2 END)
+                + (CASE WHEN (i * 131 + j) % 9973 < 10 THEN 1
+                        WHEN (i * 131 + j) % 9973 < 100 THEN 2
+                        WHEN (i * 131 + j) % 9973 < 1000 THEN 3
+                        ELSE 4 END) AS media_len
+      FROM s WHERE (i + j * 13) % 3 <> 0
+    ),
+    per AS (
+      SELECT s.i, s.j,
+             COALESCE(tl.text_len, 0) AS text_len,
+             COALESCE(m.media_len, 0) AS media_len
+      FROM s LEFT JOIN tlen tl ON tl.i = s.i AND tl.j = s.j
+             LEFT JOIN m ON m.i = s.i AND m.j = s.j
+    )
+    SELECT printf('doc-%08d', i) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN (i + j * 13) % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_text,
+           CAST(sum(CASE WHEN (i + j * 13) % 3 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_media,
+           CAST(sum(text_len) AS BIGINT) AS text_chars,
+           CAST(sum(media_len) AS BIGINT) AS media_chars,
+           CAST(sum(1 + text_len + media_len) AS BIGINT) AS end_offset,
+           true AS offsets_valid
+    FROM per GROUP BY i
+    """
+
+
+@register("span_stats", _span_stats_oracle())
+def q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from gpiv_spark import fixtures
+
+    docs = fixtures.spans_documents(spark, n_docs=500)
+    ex = docs.select(
+        "doc_id", F.posexplode("spans").alias("pos", "s")
+    ).select(
+        "doc_id", "pos",
+        F.col("s.kind").alias("kind"),
+        F.length("s.text").alias("text_len"),
+        F.length("s.media_ref").alias("media_len"),
+        F.col("s.offset").alias("offset"),
+    )
+    w = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ex = ex.withColumn(
+        "expected_off",
+        F.coalesce(
+            F.sum(F.lit(1) + F.col("text_len") + F.col("media_len")).over(w),
+            F.lit(0),
+        ),
+    )
+    return ex.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum((F.col("kind") == "text").cast("long")).alias("n_text"),
+        F.sum((F.col("kind") != "text").cast("long")).alias("n_media"),
+        F.sum("text_len").alias("text_chars"),
+        F.sum("media_len").alias("media_chars"),
+        F.sum(F.lit(1) + F.col("text_len") + F.col("media_len")).alias(
+            "end_offset"
+        ),
+        F.every(F.col("offset") == F.col("expected_off")).alias(
+            "offsets_valid"
+        ),
+    )
