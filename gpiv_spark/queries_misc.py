@@ -1282,3 +1282,65 @@ def q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "offsets_valid"
         ),
     )
+
+# --- manifest_prune: Iceberg-style snapshot scan in the driver gate ----------
+# Documents geocoded to Z-order cells land in a snapshot/manifest table
+# (sources/manifest.py) range-clustered by cell, then are read back
+# through driver-side manifest pruning with a cell-range predicate.
+# The oracle computes the same aggregate straight from the documents
+# table with the shared zcell template — if pruning ever dropped or
+# duplicated a live file, the hash breaks. File-skipping behavior
+# itself (files_skipped > 0, time travel, residual filters) is pinned
+# by tests/test_manifest.py.
+
+_MPRUNE_RES = 4          # 16x16 Z-order cells
+_MPRUNE_RANGE = (64, 191)  # middle half of the 0..255 cell space
+
+
+def _mprune_oracle() -> str:
+    from gpiv_spark.functions import cells as _cells
+
+    zc = _cells.zcell_expr(
+        DUCKDB, geocode.x_expr(DUCKDB, "doc_id"),
+        geocode.y_expr(DUCKDB, "doc_id"), _MPRUNE_RES,
+    )
+    lo, hi = _MPRUNE_RANGE
+    return f"""
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM (SELECT {zc} AS cell, n_chars FROM documents) t
+    WHERE cell BETWEEN {lo} AND {hi}
+    GROUP BY cell
+    """
+
+
+@register("manifest_prune", _mprune_oracle())
+def q_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from gpiv_spark.functions import cells as _cells
+    from gpiv_spark.sources.manifest import read_snapshot, write_snapshot
+
+    d = SPARK
+    zc = _cells.zcell_expr(
+        d, geocode.x_expr(d, "doc_id"), geocode.y_expr(d, "doc_id"),
+        _MPRUNE_RES,
+    )
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars", F.expr(zc).alias("cell"))
+        .repartitionByRange(8, "cell")
+    )
+    # the table dir outlives this function: the returned DataFrame is a
+    # lazy scan over the snapshot's parquet files
+    table_dir = tempfile.mkdtemp(prefix="gate_manifest_")
+    write_snapshot(docs, table_dir, stats_cols=["cell"])
+    lo, hi = _MPRUNE_RANGE
+    return (
+        read_snapshot(spark, table_dir, ranges={"cell": (lo, hi)})
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

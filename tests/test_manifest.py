@@ -1,0 +1,105 @@
+"""Snapshot/manifest source: file skipping, time travel, correctness.
+
+The pruning contract: results are ALWAYS identical to a full scan +
+filter (skipping is an optimization), and with range-clustered files a
+narrow predicate must actually skip most of the table's files.
+"""
+
+import shutil
+import tempfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from gpiv_spark.sources.manifest import (
+    plan_scan,
+    read_snapshot,
+    write_snapshot,
+)
+
+
+@pytest.fixture()
+def table_dir():
+    d = tempfile.mkdtemp(prefix="manifest_tbl_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _docs(spark, lo, hi):
+    # range-cluster by cell so per-file min/max envelopes are disjoint
+    # and pruning has teeth
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 64).alias("cell"),
+            (F.col("id") * 7 % 1000).alias("score"),
+        )
+        .repartitionByRange(8, "cell")
+    )
+
+
+def test_prune_matches_full_scan_and_skips_files(spark, table_dir):
+    write_snapshot(_docs(spark, 0, 20_000), table_dir, stats_cols=["cell"])
+    plan = plan_scan(table_dir, ranges={"cell": (10, 17)})
+    assert plan["files_total"] == 8
+    assert plan["files_skipped"] >= 5  # 8/64 cells -> ~1-2 live files
+    got = (
+        read_snapshot(spark, table_dir, ranges={"cell": (10, 17)})
+        .groupBy("cell").count().toPandas()
+        .sort_values("cell").reset_index(drop=True)
+    )
+    want = (
+        _docs(spark, 0, 20_000)
+        .filter("cell BETWEEN 10 AND 17")
+        .groupBy("cell").count().toPandas()
+        .sort_values("cell").reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
+def test_append_and_time_travel(spark, table_dir):
+    s1 = write_snapshot(_docs(spark, 0, 5_000), table_dir, stats_cols=["cell"])
+    s2 = write_snapshot(
+        _docs(spark, 5_000, 12_000), table_dir, stats_cols=["cell"]
+    )
+    assert (s1, s2) == (1, 2)
+    # latest sees both writes; snapshot 1 is frozen
+    assert read_snapshot(spark, table_dir).count() == 12_000
+    assert read_snapshot(spark, table_dir, snapshot=s1).count() == 5_000
+    # appended snapshot's manifest carries the parent's files forward
+    p2 = plan_scan(table_dir, snapshot=s2)
+    p1 = plan_scan(table_dir, snapshot=s1)
+    assert set(p1["files"]) < set(p2["files"])
+    assert p2["rows_upper_bound"] == 12_000
+
+
+def test_overwrite_drops_parent_files(spark, table_dir):
+    write_snapshot(_docs(spark, 0, 3_000), table_dir, stats_cols=["cell"])
+    write_snapshot(
+        _docs(spark, 3_000, 4_000), table_dir, stats_cols=["cell"],
+        mode="overwrite",
+    )
+    assert read_snapshot(spark, table_dir).count() == 1_000
+
+
+def test_residual_filter_inside_kept_files(spark, table_dir):
+    """A predicate narrower than a file's envelope must still filter
+    rows — file skipping is never the predicate itself."""
+    write_snapshot(_docs(spark, 0, 8_000), table_dir, stats_cols=["cell"])
+    got = read_snapshot(spark, table_dir, ranges={"cell": (5, 5)})
+    assert got.count() == 8_000 // 64
+    assert got.agg(F.min("cell"), F.max("cell")).collect()[0] == (5, 5)
+
+
+def test_missing_stats_column_never_prunes(spark, table_dir):
+    write_snapshot(_docs(spark, 0, 2_000), table_dir, stats_cols=["cell"])
+    # 'score' has no manifest stats -> all files kept, filter still right
+    plan = plan_scan(table_dir, ranges={"score": (0, 10)})
+    assert plan["files_skipped"] == 0
+    n = read_snapshot(spark, table_dir, ranges={"score": (0, 10)}).count()
+    want = (
+        _docs(spark, 0, 2_000).filter("score BETWEEN 0 AND 10").count()
+    )
+    assert n == want
