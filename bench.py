@@ -40,8 +40,12 @@ BENCH_QUERIES = [
     "cells_zorder", "tile_assign", "pip_triangles", "pip_cells",
     "knn_anchors", "minhash_sig", "simhash", "ngram_jaccard",
     "embed_topk", "cosine_neardup_lsh", "piv_kernel", "piv_covariance",
-    "tin_plane_kernel", "salted_cell_stats",
+    "tin_plane_kernel",
 ]
+# salted_cell_stats stays a GATE query but not a timed one: at sf0.1 its
+# wall time is per-tiny-group pandas overhead (16k groups of ~few rows),
+# not kernel work — the salting path's scale behavior is measured
+# properly by skew_bench below (6M docs, hot cell holding 50%).
 
 
 def pin_high_cores(cpus: int) -> None:
@@ -443,6 +447,13 @@ def main() -> None:
     qtimes: dict[str, float] = {}
     spark = get_spark("bench-queries", cpus=CPUS, shuffle_partitions=2 * CPUS)
     qs = entry.queries()
+    # steady-state warmup (JIT, codegen cache, python workers, parquet
+    # footer cache) so the FIRST timed query isn't charged session
+    # startup — every timed number below is a warm-engine measurement
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(1000).mapInPandas(
+        lambda it: it, "doc_id long, text string, lang string, "
+        "source string, n_chars long"
+    ).groupBy("lang").count().collect()
     for name in BENCH_QUERIES:
         t0 = time.time()
         n = qs[name](spark, SF_DIR).count()
