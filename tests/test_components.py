@@ -35,3 +35,56 @@ def test_duplicate_and_reversed_edges_ok(spark):
     pairs = [(1, 2), (2, 1), (1, 2), (2, 3)]
     got = connected_components(_edges(spark, pairs)).toPandas()
     assert dict(zip(got["node"], got["comp"])) == {1: 1, 2: 1, 3: 1}
+
+
+# --- large-star/small-star variant -------------------------------------------
+
+def _uf_truth(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("name,pairs", [
+    ("hub", [(0, i) for i in range(1, 400)] + [(1000, 1001), (1001, 1002)]),
+    ("chain", [(i, i + 1) for i in range(100, 115)]),
+    ("blobs", [(10 * g + i, 10 * g + j)
+               for g in range(5) for i in range(4) for j in range(i + 1, 4)]),
+    ("random", [((i * 7919) % 97, (i * 104729) % 97) for i in range(160)
+                if (i * 7919) % 97 != (i * 104729) % 97]),
+])
+def test_star_cc_matches_union_find_and_label_prop(spark, name, pairs):
+    from gpiv_spark.operators.components import connected_components_star
+
+    want = _uf_truth(pairs)
+    stats = {}
+    got = connected_components_star(_edges(spark, pairs), stats=stats).toPandas()
+    assert dict(zip(got["node"], got["comp"])) == want, name
+    assert stats["converged"]
+    # the 'random' modular graph is secretly one long permutation cycle
+    # (edges (c1*i, c2*i) mod 97) — label propagation needs ~diameter
+    # rounds there, which is exactly the case star CC exists for
+    lp = connected_components(_edges(spark, pairs), max_rounds=60).toPandas()
+    assert dict(zip(lp["node"], lp["comp"])) == want, name
+
+
+def test_star_cc_converges_fast_on_long_chain(spark):
+    from gpiv_spark.operators.components import connected_components_star
+
+    pairs = [(i, i + 1) for i in range(200, 264)]  # diameter 64
+    stats = {}
+    got = connected_components_star(_edges(spark, pairs), stats=stats).toPandas()
+    assert set(got["comp"]) == {200}
+    # label propagation would need ~64 rounds; star CC is O(log n)
+    assert stats["rounds"] <= 10, stats
