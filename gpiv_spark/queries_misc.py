@@ -1344,3 +1344,19 @@ def q_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+# --- dedup_components_star: same clusters via the star algorithm -------------
+# The hub-robust large-star/small-star CC must produce byte-identical
+# components to label propagation — both gate rows share the
+# recursive-CTE reachability oracle, so the two distributed algorithms
+# are pinned against the same independent fixpoint.
+
+
+@register("dedup_components_star", _CC_ORACLE)
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpiv_spark.operators.components import connected_components_star
+
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components_star(pairs, a="doc_a", b="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
