@@ -82,6 +82,13 @@ def write_snapshot(df: DataFrame, table_dir: str | os.PathLike,
     parent = ids[-1] if ids else None
 
     data_dir = table_dir / "data" / f"snap-{new_id}"
+    if data_dir.exists():
+        # orphan from a crashed writer: its snapshot never committed
+        # (manifest rename is the commit point), so no reader can hold
+        # a reference — safe to clear and reuse the id
+        import shutil
+
+        shutil.rmtree(data_dir)
     df.write.mode("errorifexists").parquet(str(data_dir))
     files = [
         _file_stats(str(p), stats_cols)

@@ -103,3 +103,13 @@ def test_missing_stats_column_never_prunes(spark, table_dir):
         _docs(spark, 0, 2_000).filter("score BETWEEN 0 AND 10").count()
     )
     assert n == want
+
+
+def test_orphan_data_dir_from_crashed_writer_is_reclaimed(spark, table_dir):
+    """A data dir without a committed manifest must not wedge the table."""
+    orphan = Path(table_dir) / "data" / "snap-1"
+    orphan.mkdir(parents=True)
+    (orphan / "stray.parquet.tmp").write_bytes(b"partial")
+    sid = write_snapshot(_docs(spark, 0, 1_000), table_dir, stats_cols=["cell"])
+    assert sid == 1
+    assert read_snapshot(spark, table_dir).count() == 1_000
