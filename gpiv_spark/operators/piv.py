@@ -108,9 +108,19 @@ def pack_patches(df: DataFrame, cfg: PivConfig) -> DataFrame:
             ]
         )
 
+    # kernel-stage partitioning sized from raster GEOMETRY (patch
+    # count), not the global shuffle default: the ~20 ms python-task
+    # handshake does not parallelize (see CLAUDE.md), so 64 mostly-empty
+    # tasks cost more than the packing itself on small rasters, while
+    # big rasters still fan out (cap 64 = KERNEL_TASKS discipline).
+    # Explicit hash repartition on the group keys also pre-satisfies the
+    # groupBy distribution, so no second exchange is inserted.
+    n_groups = 4 * (-(-cfg.dim // step)) ** 2  # <= 4 datasets
+    npart = max(8, min(64, n_groups // 8))  # ~8 tiny pack calls per task
     return (
         df.withColumn("patch_r", (F.col("row") / step).cast("int"))
         .withColumn("patch_c", (F.col("col") / step).cast("int"))
+        .repartition(npart, "dataset", "patch_r", "patch_c")
         .groupBy("dataset", "patch_r", "patch_c")
         .applyInPandas(_pack, PATCH_SCHEMA)
     )
@@ -220,8 +230,12 @@ def _run_piv_from_patches(spark: SparkSession, patches: DataFrame,
     def _tile_kernel(key, pdf):
         return _piv_tile(key, pdf, cfg_d)
 
+    # one task per tile up to the KERNEL_TASKS cap (same rationale as
+    # pack_patches: handshake cost vs mostly-empty partitions)
+    npart = max(8, min(64, cfg.count * cfg.count))
     return (
-        fanned.groupBy("tile_r", "tile_c")
+        fanned.repartition(npart, "tile_r", "tile_c")
+        .groupBy("tile_r", "tile_c")
         .applyInPandas(_tile_kernel,
                        PIV_BIAS_SCHEMA if with_bias else PIV_SCHEMA)
     )
