@@ -1360,3 +1360,65 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(pairs, a="doc_a", b="doc_b").select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )
+
+# --- stream_cell_counts: windowed streaming aggregation in the gate ----------
+# The third streaming shape (after the stateful sessionizer and the
+# first-seen dedup): readStream -> geocode -> Z-order cell ->
+# watermark + event-time window -> grouped counts (streaming/ingest.py,
+# the exact plan a continuously-growing 10^12-doc table needs for
+# live per-cell stats). Event times are a pure function of doc_id and
+# the 5-minute windows are epoch-aligned, so the oracle is integer
+# arithmetic — window_s = EPOCH + (doc_id mod 7200 div 300)*300 —
+# over the same shared zcell template.
+
+_SCC_EPOCH = 1767225600  # 2026-01-01 UTC; divisible by the 300 s window
+
+
+def _scc_oracle() -> str:
+    from gpiv_spark.functions import cells as _cells
+
+    zc = _cells.zcell_expr(
+        DUCKDB, geocode.x_expr(DUCKDB, "doc_id"),
+        geocode.y_expr(DUCKDB, "doc_id"), 6,
+    )
+    return f"""
+    SELECT CAST({zc} AS BIGINT) AS cell_id,
+           CAST({_SCC_EPOCH} + ((doc_id % 7200) // 300) * 300 AS BIGINT)
+             AS window_s,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM documents GROUP BY 1, 2
+    """
+
+
+@register("stream_cell_counts", _scc_oracle())
+def q_stream_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from gpiv_spark.streaming.ingest import run_to_memory, stream_cell_counts
+
+    schema = "doc_id long, event_time timestamp"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.expr(
+            f"to_timestamp({_SCC_EPOCH} + doc_id % 7200)"
+        ).alias("event_time"),
+    )
+    work = Path(tempfile.mkdtemp(prefix="gate_scc_"))
+    try:
+        indir = work / "in"
+        docs.repartition(4).write.mode("overwrite").parquet(str(indir))
+        agg = stream_cell_counts(spark, str(indir), schema, res=6)
+        q = run_to_memory(agg, name="gate_cell_counts")
+        q.stop()
+        out = spark.table("gate_cell_counts").select(
+            "cell_id",
+            F.unix_timestamp("window.start").alias("window_s"),
+            "n_docs", "max_doc",
+        )
+        out = spark.createDataFrame(out.toPandas())  # detach from files
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
