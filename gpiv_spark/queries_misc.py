@@ -1093,8 +1093,6 @@ def _canon_oracle() -> str:
 
 @register("dedup_canonical", _canon_oracle())
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from gpiv_spark.operators.components import connected_components
     from gpiv_spark.queries_text import _quality_sql
 
@@ -1109,13 +1107,19 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality",
         )
     )
-    w = Window.partitionBy("component").orderBy(
-        F.col("quality").desc(), F.col("doc_id")
+    # argmax by (quality DESC, doc_id ASC) as min_by over the struct
+    # (-quality, doc_id): a map-side-combinable AGGREGATE, not a window
+    # — a boilerplate mega-cluster at 10^12 docs partial-aggregates on
+    # every map task instead of sorting one giant window partition.
+    # (The oracle keeps its first_value window: independent formulation.)
+    winners = labeled.groupBy("component").agg(
+        F.min_by(
+            "doc_id", F.struct((-F.col("quality")).alias("nq"), "doc_id")
+        ).alias("canonical_id")
     )
-    return labeled.select(
-        "doc_id", "component",
-        F.first("doc_id").over(w).alias("canonical_id"),
-        (F.col("doc_id") == F.first("doc_id").over(w)).alias("is_canonical"),
+    return labeled.join(winners, "component").select(
+        "doc_id", "component", "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
     )
 
 # --- stream_dedup: stateful streaming exact-dedup in the driver gate ---------
