@@ -46,6 +46,12 @@ TPU_COLS = ["var_x", "var_y", "var_z", "cov_xy", "cov_xz", "cov_yz"]
 # mapInPandas tasks = 2.8 s at ANY core count), so fewer, bigger tasks
 # win as long as waves stay balanced (64 = 2 waves at 32 cores).
 KERNEL_TASKS = 64
+# The PACK BUILD runs heavier, more variable tasks (per-cell Delaunay:
+# point counts vary cell to cell, and host noise stretches whole waves)
+# — finer fixed granularity beats handshake cost there. Measured at
+# 800k points, min of 3: 32 cores 13.4 s (64 tasks) -> 11.8 s (128),
+# 8 cores neutral (20.3 -> 20.4); 256 tasks regresses (handshake).
+PACK_TASKS = 128
 
 
 def fan_out_points(spark: SparkSession, points: DataFrame, cell_res: int,
@@ -469,7 +475,7 @@ def build_pack_blobs(spark: SparkSession, points: DataFrame,
             }
         )
 
-    npart = KERNEL_TASKS
+    npart = PACK_TASKS
     return (
         pts.repartition(npart, "cell")
         .groupBy("cell")
