@@ -175,3 +175,43 @@ def read_snapshot(spark: SparkSession, table_dir: str | os.PathLike,
         if hi is not None:
             df = df.filter(F.col(col) <= hi)
     return df
+
+
+def compact(spark: SparkSession, table_dir: str | os.PathLike,
+            target_files: int) -> int:
+    """Rewrite the latest snapshot's data into ``target_files`` files
+    (small-file compaction, the maintenance half of any manifest
+    format: streaming ingest accretes per-batch files until scans are
+    metadata-bound). Commits an OVERWRITE snapshot with identical rows;
+    older snapshots keep reading their own file lists (time travel is
+    unaffected)."""
+    ids = _snapshot_ids(table_dir)
+    if not ids:
+        raise FileNotFoundError(f"no snapshots under {table_dir}")
+    man = _load_manifest(table_dir, ids[-1])
+    df = spark.read.parquet(*[f["path"] for f in man["files"]])
+    return write_snapshot(
+        df.coalesce(target_files), table_dir,
+        stats_cols=man["stats_cols"], mode="overwrite",
+    )
+
+
+def streaming_sink(table_dir: str | os.PathLike, stats_cols: list[str]):
+    """foreachBatch sink: every micro-batch commits one append
+    snapshot, so the stream's history is queryable (and revertable)
+    per batch. Usage:
+
+        q = (df.writeStream.foreachBatch(streaming_sink(dir, cols))
+               .option("checkpointLocation", ckpt).start())
+
+    Exactly-once note: the snapshot commit is atomic (manifest
+    rename), but a crash BETWEEN the data write and the engine's
+    checkpoint advance can replay a batch as a duplicate snapshot —
+    the same at-least-once contract as Spark's file sinks; readers
+    that need exactly-once pin a snapshot id.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_snapshot(batch_df, table_dir, stats_cols, mode="append")
+
+    return _sink

@@ -113,3 +113,52 @@ def test_orphan_data_dir_from_crashed_writer_is_reclaimed(spark, table_dir):
     sid = write_snapshot(_docs(spark, 0, 1_000), table_dir, stats_cols=["cell"])
     assert sid == 1
     assert read_snapshot(spark, table_dir).count() == 1_000
+
+
+def test_compaction_shrinks_files_and_preserves_history(spark, table_dir):
+    for lo in (0, 4_000, 8_000):
+        write_snapshot(
+            _docs(spark, lo, lo + 4_000), table_dir, stats_cols=["cell"]
+        )
+    before = plan_scan(table_dir)
+    assert before["files_total"] == 24  # 3 snapshots x 8 files
+    from gpiv_spark.sources.manifest import compact
+
+    sid = compact(spark, table_dir, target_files=4)
+    after = plan_scan(table_dir)
+    assert after["snapshot_id"] == sid
+    assert after["files_total"] <= 4
+    assert read_snapshot(spark, table_dir).count() == 12_000
+    # pre-compaction snapshot is untouched history
+    assert read_snapshot(spark, table_dir, snapshot=2).count() == 8_000
+
+
+def test_streaming_sink_commits_a_snapshot_per_batch(spark, table_dir):
+    import tempfile as tf
+
+    from gpiv_spark.sources.manifest import streaming_sink
+
+    src = Path(tf.mkdtemp(prefix="sink_src_"))
+    ckpt = Path(tf.mkdtemp(prefix="sink_ckpt_"))
+    try:
+        _docs(spark, 0, 2_000).write.mode("overwrite").parquet(str(src))
+        stream = spark.readStream.schema(
+            "doc_id long, cell long, score long"
+        ).parquet(str(src))
+        q = (
+            stream.writeStream
+            .foreachBatch(streaming_sink(table_dir, ["cell"]))
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        q.processAllAvailable()
+        _docs(spark, 2_000, 3_000).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    plan = plan_scan(table_dir)
+    assert plan["snapshot_id"] == 2  # one commit per micro-batch
+    assert read_snapshot(spark, table_dir).count() == 3_000
+    assert read_snapshot(spark, table_dir, snapshot=1).count() == 2_000
