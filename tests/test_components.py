@@ -88,3 +88,37 @@ def test_star_cc_converges_fast_on_long_chain(spark):
     assert set(got["comp"]) == {200}
     # label propagation would need ~64 rounds; star CC is O(log n)
     assert stats["rounds"] <= 10, stats
+
+
+# --- property-based: both algorithms == union-find on arbitrary graphs -------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _edge_lists(draw):
+    n_edges = draw(st.integers(1, 30))
+    pairs = []
+    for _ in range(n_edges):
+        a = draw(st.integers(0, 24))
+        b = draw(st.integers(0, 24).filter(lambda x, a=a: x != a))
+        pairs.append((min(a, b), max(a, b)))
+    return pairs
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=_edge_lists())
+def test_cc_property_matches_union_find(spark, pairs):
+    """Any undirected graph: label propagation and star CC both produce
+    the union-find fixpoint. Spark jobs per example are expensive, so
+    examples are few but the shapes hypothesis shrinks to (parallel
+    edges, triangles, chains, near-cliques) are exactly the CC edge
+    cases."""
+    want = _uf_truth(pairs)
+    from gpiv_spark.operators.components import connected_components_star
+
+    lp = connected_components(_edges(spark, pairs), max_rounds=64).toPandas()
+    assert dict(zip(lp["node"], lp["comp"])) == want
+    star = connected_components_star(_edges(spark, pairs)).toPandas()
+    assert dict(zip(star["node"], star["comp"])) == want
