@@ -412,13 +412,15 @@ def skew_bench(spark, n_docs: int, res: int = 2, n_salt: int = 256) -> dict:
     from gpiv_spark.operators.salting import salted_cell_stats
 
     def run_once(skewed: bool) -> float:
-        x = geocode.x_expr(d, "doc_id")
-        y = geocode.y_expr(d, "doc_id")
         if skewed:
-            x = (f"(CASE WHEN doc_id % 2 = 0 THEN "
-                 f"{geocode.X0 + 100.25!r} ELSE {x} END)")
-            y = (f"(CASE WHEN doc_id % 2 = 0 THEN "
-                 f"{geocode.Y0 + 200.75!r} ELSE {y} END)")
+            # the SAME planted hot point as the salted_cell_stats gate
+            # fixture — bench skew evidence and gate measure one shape
+            from gpiv_spark.queries_misc import _skew_xy
+
+            x, y = _skew_xy(d, "doc_id")
+        else:
+            x = geocode.x_expr(d, "doc_id")
+            y = geocode.y_expr(d, "doc_id")
         docs = spark.range(n_docs).select(
             F.col("id").alias("doc_id"),
             F.expr(cells.zcell_expr(d, x, y, res)).alias("cell"),

@@ -132,10 +132,15 @@ def connected_components_star(edges: DataFrame, a: str = "a", b: str = "b",
     fingerprint (count + bit_xor of xxhash64) — one cheap aggregate per
     round instead of a set-difference join.
     """
-    cur = _sym(
-        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
-    ).localCheckpoint(eager=True)
-    nodes = cur.select("u").distinct().localCheckpoint(eager=True)
+    raw = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    cur = _sym(raw).localCheckpoint(eager=True)
+    # node universe from the RAW edges: a node whose only edge is a
+    # self-loop still "touches an edge" (same contract as label
+    # propagation above), even though _sym drops the loop itself
+    nodes = (
+        raw.select("u").unionByName(raw.select(F.col("v").alias("u")))
+        .distinct().localCheckpoint(eager=True)
+    )
 
     def fingerprint(df: DataFrame):
         row = df.agg(

@@ -1335,9 +1335,14 @@ def q_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars", F.expr(zc).alias("cell"))
         .repartitionByRange(8, "cell")
     )
-    # the table dir outlives this function: the returned DataFrame is a
-    # lazy scan over the snapshot's parquet files
+    # the table dir must outlive this function (the returned DataFrame
+    # is a lazy scan over the snapshot's parquet files), so it is
+    # reaped at process exit instead of leaking per invocation
+    import atexit
+    import shutil
+
     table_dir = tempfile.mkdtemp(prefix="gate_manifest_")
+    atexit.register(shutil.rmtree, table_dir, ignore_errors=True)
     write_snapshot(docs, table_dir, stats_cols=["cell"])
     lo, hi = _MPRUNE_RANGE
     return (

@@ -223,7 +223,11 @@ def las_table(spark, path: str):
 
     parsed = files.select("path", "content").mapInPandas(
         parse, LAS_POINTS_SCHEMA + ", _path string"
-    )
+    ).localCheckpoint(eager=False)
+    # ^ one materialization feeds BOTH the offsets aggregate and the
+    # join below — without it the two plan branches each re-read and
+    # re-decode every file (the dominant scan cost, 2x). At catalog
+    # scale the per-file counts would come from table metadata instead.
     # global ids: offset each file's local ids by the total count of
     # lexicographically-earlier files (two tiny aggs on file metadata)
     from pyspark.sql import Window

@@ -70,47 +70,56 @@ def write_snapshot(df: DataFrame, table_dir: str | os.PathLike,
     """Commit ``df`` as a new snapshot; returns its id.
 
     mode="append" keeps the parent snapshot's files live; "overwrite"
-    starts the file list fresh. The manifest is staged to a temp file
-    and renamed into place — the commit point — so readers never see a
-    partial snapshot.
+    starts the file list fresh.
+
+    Concurrency: data files land in a UNIQUE directory (no dependence
+    on the snapshot id), and the commit point is an exclusive
+    hard-link of the staged manifest into ``snapshots/N.json`` —
+    optimistic concurrency exactly like a real table format. If two
+    writers race for the same id, the loser's link raises
+    FileExistsError and it retries against the winner's snapshot as
+    the new parent; no writer ever touches another writer's files.
+    A crashed writer leaves only an unreferenced data dir (garbage,
+    never corruption) — readers only see committed manifests.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
     table_dir = Path(table_dir)
-    ids = _snapshot_ids(table_dir)
-    new_id = (ids[-1] + 1) if ids else 1
-    parent = ids[-1] if ids else None
-
-    data_dir = table_dir / "data" / f"snap-{new_id}"
-    if data_dir.exists():
-        # orphan from a crashed writer: its snapshot never committed
-        # (manifest rename is the commit point), so no reader can hold
-        # a reference — safe to clear and reuse the id
-        import shutil
-
-        shutil.rmtree(data_dir)
+    (table_dir / "data").mkdir(parents=True, exist_ok=True)
+    data_dir = Path(tempfile.mkdtemp(dir=table_dir / "data", prefix="snap-"))
+    data_dir.rmdir()  # Spark wants to create the leaf dir itself
     df.write.mode("errorifexists").parquet(str(data_dir))
-    files = [
+    new_files = [
         _file_stats(str(p), stats_cols)
         for p in sorted(data_dir.glob("*.parquet"))
     ]
-    if mode == "append" and parent is not None:
-        files = _load_manifest(table_dir, parent)["files"] + files
 
     sdir = table_dir / "snapshots"
     sdir.mkdir(parents=True, exist_ok=True)
-    manifest = {
-        "snapshot_id": new_id,
-        "parent": parent,
-        "mode": mode,
-        "stats_cols": stats_cols,
-        "files": files,
-    }
-    fd, tmp = tempfile.mkstemp(dir=str(sdir), suffix=".tmp")
-    with os.fdopen(fd, "w") as fh:
-        json.dump(manifest, fh)
-    os.replace(tmp, sdir / f"{new_id}.json")
-    return new_id
+    while True:
+        ids = _snapshot_ids(table_dir)
+        new_id = (ids[-1] + 1) if ids else 1
+        parent = ids[-1] if ids else None
+        files = new_files
+        if mode == "append" and parent is not None:
+            files = _load_manifest(table_dir, parent)["files"] + new_files
+        manifest = {
+            "snapshot_id": new_id,
+            "parent": parent,
+            "mode": mode,
+            "stats_cols": stats_cols,
+            "files": files,
+        }
+        fd, tmp = tempfile.mkstemp(dir=str(sdir), suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(manifest, fh)
+        try:
+            os.link(tmp, sdir / f"{new_id}.json")  # atomic, exclusive
+            return new_id
+        except FileExistsError:
+            continue  # lost the race: re-read parent chain and retry
+        finally:
+            os.unlink(tmp)
 
 
 def _load_manifest(table_dir: str | os.PathLike, snapshot: int) -> dict:

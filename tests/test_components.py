@@ -122,3 +122,14 @@ def test_cc_property_matches_union_find(spark, pairs):
     assert dict(zip(lp["node"], lp["comp"])) == want
     star = connected_components_star(_edges(spark, pairs)).toPandas()
     assert dict(zip(star["node"], star["comp"])) == want
+
+
+def test_self_loop_only_node_kept_by_both(spark):
+    from gpiv_spark.operators.components import connected_components_star
+
+    pairs = [(5, 5), (1, 2)]
+    want = {1: 1, 2: 1, 5: 5}
+    lp = connected_components(_edges(spark, pairs)).toPandas()
+    assert dict(zip(lp["node"], lp["comp"])) == want
+    star = connected_components_star(_edges(spark, pairs)).toPandas()
+    assert dict(zip(star["node"], star["comp"])) == want

@@ -105,14 +105,37 @@ def test_missing_stats_column_never_prunes(spark, table_dir):
     assert n == want
 
 
-def test_orphan_data_dir_from_crashed_writer_is_reclaimed(spark, table_dir):
-    """A data dir without a committed manifest must not wedge the table."""
-    orphan = Path(table_dir) / "data" / "snap-1"
+def test_orphan_data_dir_from_crashed_writer_is_harmless(spark, table_dir):
+    """A data dir without a committed manifest is garbage, never
+    corruption: unique data dirs mean no collision, and the reader
+    only sees files listed in committed manifests."""
+    orphan = Path(table_dir) / "data" / "snap-crashed"
     orphan.mkdir(parents=True)
     (orphan / "stray.parquet.tmp").write_bytes(b"partial")
     sid = write_snapshot(_docs(spark, 0, 1_000), table_dir, stats_cols=["cell"])
     assert sid == 1
     assert read_snapshot(spark, table_dir).count() == 1_000
+
+
+def test_commit_race_retries_against_winner(spark, table_dir):
+    """Optimistic concurrency: if another writer claims the id first,
+    write_snapshot must retry with the winner as parent, never clobber."""
+    import json as _json
+
+    write_snapshot(_docs(spark, 0, 1_000), table_dir, stats_cols=["cell"])
+    # a concurrent winner grabs id 2 with its own (empty) file list
+    (Path(table_dir) / "snapshots" / "2.json").write_text(_json.dumps({
+        "snapshot_id": 2, "parent": 1, "mode": "overwrite",
+        "stats_cols": ["cell"], "files": [],
+    }))
+    sid = write_snapshot(
+        _docs(spark, 1_000, 1_500), table_dir, stats_cols=["cell"]
+    )
+    assert sid == 3  # lost the race for 2, committed as 3
+    # append chained off the WINNER's (empty) list + its own files
+    assert read_snapshot(spark, table_dir).count() == 500
+    # loser's retry never touched the winner or snapshot 1
+    assert read_snapshot(spark, table_dir, snapshot=1).count() == 1_000
 
 
 def test_compaction_shrinks_files_and_preserves_history(spark, table_dir):
