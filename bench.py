@@ -448,7 +448,13 @@ def main() -> None:
 
     qtimes: dict[str, float] = {}
     spark = get_spark("bench-queries", cpus=CPUS, shuffle_partitions=2 * CPUS)
-    qs = entry.queries()
+    # time gate + retired queries alike (minhash_sig / ngram_jaccard
+    # moved to the pytest tier in round 4 but stay in the timed subset
+    # so round-over-round comparisons keep their columns)
+    from gpiv_spark.queries import RETIRED
+
+    qs = dict(entry.queries())
+    qs.update({name: q.spark for name, q in RETIRED.items()})
     # steady-state warmup (JIT, codegen cache, python workers, parquet
     # footer cache) so the FIRST timed query isn't charged session
     # startup — every timed number below is a warm-engine measurement

@@ -33,10 +33,20 @@ class Q:
 
 REGISTRY: dict[str, Q] = {}
 
+# The driver's correctness gate verifies only the FIRST 50 ``queries()``
+# entries (observed: round-3 registry held 57 and the 7 newest got no
+# CORRECTNESS row). Queries whose operator is already pinned by a
+# surviving gate query live here instead: same Q contract, verified by
+# tests/test_retired_oracles.py and tools/check_oracles.py with the
+# identical rows+schema+hash check, just not burning a driver slot.
+RETIRED: dict[str, Q] = {}
 
-def register(name: str, oracle: str | None):
+GATE_CAP = 50
+
+
+def register(name: str, oracle: str | None, gate: bool = True):
     def deco(fn):
-        REGISTRY[name] = Q(spark=fn, oracle=oracle)
+        (REGISTRY if gate else RETIRED)[name] = Q(spark=fn, oracle=oracle)
         return fn
 
     return deco
@@ -122,7 +132,8 @@ _hq_duck, _hr_duck = cells.hex_qr_expr(
 
 @register(
     "cells_hex",
-    f"""
+    gate=False,  # hex twin of the gated cells_zorder encode
+    oracle=f"""
     SELECT {_hq_duck} AS hq, {_hr_duck} AS hr, count(*) AS n_docs
     FROM documents
     GROUP BY 1, 2
@@ -601,3 +612,10 @@ from gpiv_spark import queries_text as _queries_text  # noqa: E402,F401
 from gpiv_spark import queries_piv as _queries_piv  # noqa: E402,F401
 from gpiv_spark import queries_tin as _queries_tin  # noqa: E402,F401
 from gpiv_spark import queries_misc as _queries_misc  # noqa: E402,F401
+
+# Hard invariant: every driver-facing entry gets a CORRECTNESS row.
+# (import-time, so any registration past the cap fails tests instantly)
+assert len(REGISTRY) <= GATE_CAP, (
+    f"driver gate verifies only the first {GATE_CAP} queries; REGISTRY "
+    f"holds {len(REGISTRY)} — move redundant ones to gate=False"
+)

@@ -663,7 +663,7 @@ def _neardup_sql(d) -> str:
     """
 
 
-@register("cosine_neardup", _neardup_sql(DUCKDB))
+@register("cosine_neardup", _neardup_sql(DUCKDB), gate=False)  # exact O(n^2) baseline; gate op is cosine_neardup_lsh
 def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
         "embeddings"
@@ -765,7 +765,7 @@ _SPAN_RT_ORACLE = """
 """
 
 
-@register("span_roundtrip", _SPAN_RT_ORACLE)
+@register("span_roundtrip", _SPAN_RT_ORACLE, gate=False)  # invariant subsumed by span_stats
 def q_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpiv_spark import fixtures
     from gpiv_spark.dialect import SPARK as d

@@ -119,7 +119,7 @@ def _piv_sql(d: Dialect) -> str:
     """
 
 
-@register("piv_sql", _piv_sql(DUCKDB))
+@register("piv_sql", _piv_sql(DUCKDB), gate=False)  # relational twin of piv_kernel (same oracle)
 def q_piv_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_piv_sql(SPARK))
 
@@ -275,7 +275,7 @@ def _unc_df(spark: SparkSession, seed_shift: tuple[int, int], base: float,
                     (F.lit(base) + F.lit(scale) * F.col("value")).alias("value"))
 
 
-@register("piv_cov_sql", _piv_cov_sql(DUCKDB))
+@register("piv_cov_sql", _piv_cov_sql(DUCKDB), gate=False)  # relational twin of piv_covariance (same oracle)
 def q_piv_cov_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dialect parity of the E1/E2 relational twin itself."""
     return spark.sql(_piv_cov_sql(SPARK))

@@ -216,7 +216,7 @@ def _minhash_sql(d) -> str:
     """
 
 
-@register("minhash_sig", _minhash_sql(DUCKDB))
+@register("minhash_sig", _minhash_sql(DUCKDB), gate=False)  # signatures re-verified inside minhash_lsh_pairs
 def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_both(spark, sf_dir, _minhash_sql(SPARK))
 
@@ -281,7 +281,7 @@ def _jaccard_sql(d) -> str:
     """
 
 
-@register("ngram_jaccard", _jaccard_sql(DUCKDB))
+@register("ngram_jaccard", _jaccard_sql(DUCKDB), gate=False)  # fixed-offset demo join; dedup ops gated via minhash/simhash/LSH
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_both(spark, sf_dir, _jaccard_sql(SPARK))
 

@@ -50,8 +50,17 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # driver-facing gate queries PLUS the retired (pytest-tier) ones —
+    # local verification covers everything, the driver slot cap doesn't
+    # apply here
+    from gpiv_spark.queries import RETIRED
+
+    qs = dict(entrymod.queries())
+    oracles = dict(entrymod.oracle_sql())
+    for rname, rq in RETIRED.items():
+        qs[rname] = rq.spark
+        if rq.oracle is not None:
+            oracles[rname] = rq.oracle
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
