@@ -25,7 +25,7 @@ general-graph deployment would add the large-star/small-star split.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -58,6 +58,9 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b",
             sym.join(labels, sym["dst"] == labels["node"])
             .groupBy("src").agg(F.min("comp").alias("nbr_comp"))
         )
+        # the change count rides the checkpoint materialization as an
+        # observed metric — ONE job per round, not checkpoint + count
+        obs = Observation()
         new_labels = (
             labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
             .select(
@@ -67,9 +70,10 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b",
                 ).alias("comp"),
                 (F.col("nbr_comp") < F.col("comp")).alias("_chg"),
             )
+            .observe(obs, F.sum(F.col("_chg").cast("long")).alias("changed"))
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.filter("_chg").limit(1).count()
+        changed = obs.get["changed"] or 0
         labels = new_labels.drop("_chg")
         if changed == 0:
             if stats is not None:
@@ -133,7 +137,21 @@ def connected_components_star(edges: DataFrame, a: str = "a", b: str = "b",
     round instead of a set-difference join.
     """
     raw = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
-    cur = _sym(raw).localCheckpoint(eager=True)
+
+    def ckpt_fp(df: DataFrame):
+        """Eager checkpoint with the edge-set fingerprint (count +
+        bit_xor of xxhash64) observed on the SAME materialization —
+        one job per round instead of checkpoint + collect."""
+        obs = Observation()
+        out = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).localCheckpoint(eager=True)
+        m = obs.get
+        return out, (m["n"], m["h"])
+
+    cur, prev_fp = ckpt_fp(_sym(raw))
     # node universe from the RAW edges: a node whose only edge is a
     # self-loop still "touches an edge" (same contract as label
     # propagation above), even though _sym drops the loop itself
@@ -142,21 +160,12 @@ def connected_components_star(edges: DataFrame, a: str = "a", b: str = "b",
         .distinct().localCheckpoint(eager=True)
     )
 
-    def fingerprint(df: DataFrame):
-        row = df.agg(
-            F.count("*").alias("n"),
-            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-        ).collect()[0]
-        return row["n"], row["h"]
-
-    prev_fp = fingerprint(cur)
     rounds = 0
     while rounds < max_rounds:
         rounds += 1
         stepped = _star_round(_sym(_star_round(cur, small=False)),
                               small=True)
-        cur = _sym(stepped).localCheckpoint(eager=True)
-        fp = fingerprint(cur)
+        cur, fp = ckpt_fp(_sym(stepped))
         if fp == prev_fp:
             if stats is not None:
                 stats.update(rounds=rounds, converged=True)

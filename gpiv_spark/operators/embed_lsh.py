@@ -79,13 +79,42 @@ def band_signatures(vecs: DataFrame, id_col: str = "vec_id",
 
 def lsh_candidate_pairs(vecs: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding", n_bands: int = 8,
-                        bits: int = 16) -> DataFrame:
-    """Distinct (id_a < id_b) pairs sharing at least one exact band."""
+                        bits: int = 16,
+                        bucket_cap: int = 1000) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one exact band.
+
+    Hot-bucket guard: a degenerate corpus (zero or byte-identical
+    embeddings -> identical 16-bit band values) turns one (band, bv)
+    bucket quadratic at 10^12 docs. Buckets holding more than
+    ``bucket_cap`` members are therefore STAR-LINKED — every member
+    pairs with the bucket's minimum id only, O(m) pairs instead of
+    O(m^2) — which preserves connectivity (downstream refine + CC
+    still unions the bucket's near-identical members through the
+    representative) while bounding candidate count at
+    O(bucket_cap * n). Sub-cap buckets keep exact all-pairs semantics;
+    real data never hits the cap (background band collision ~2^-16).
+
+    Signatures are computed ONCE: the mapInPandas kernel's output is
+    localCheckpoint-ed before the self-join, otherwise each join side
+    would re-execute it.
+    """
+    from pyspark.sql import Window
+
     sig = band_signatures(vecs, id_col, vec_col, n_bands, bits)
-    return (
-        sig.alias("a")
+    sig = sig.localCheckpoint(eager=True)
+    # one shuffle on (band, bv) computes size + representative; the
+    # self-join below reuses the same key, so no extra exchange class
+    w = Window.partitionBy("band", "bv")
+    tagged = sig.select(
+        id_col, "band", "bv",
+        F.count("*").over(w).alias("_bn"),
+        F.min(id_col).over(w).alias("_rep"),
+    ).localCheckpoint(eager=True)  # window result feeds 3 branches
+    small = tagged.filter(F.col("_bn") <= bucket_cap)
+    exact = (
+        small.alias("a")
         .join(
-            sig.alias("b"),
+            small.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bv") == F.col("b.bv"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
@@ -94,8 +123,14 @@ def lsh_candidate_pairs(vecs: DataFrame, id_col: str = "vec_id",
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .distinct()
     )
+    starred = (
+        tagged.filter(
+            (F.col("_bn") > bucket_cap) & (F.col(id_col) != F.col("_rep"))
+        )
+        .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return exact.unionByName(starred).distinct()
 
 
 def cosine_refine(pairs: DataFrame, vecs: DataFrame,

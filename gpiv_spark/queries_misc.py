@@ -1155,6 +1155,13 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text",
         F.expr(f"{epoch} + make_interval(0, 0, 0, 0, 0, 0, doc_id)").alias("ts"),
     )
+    # the +1_000_000 plant offset must not collide with real doc_ids
+    # (at >=1M docs the planted ids would alias originals and corrupt
+    # both the first-seen winner and the counts) — fail loudly instead
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    assert max_id is not None and max_id < 1_000_000, (
+        f"stream_dedup plant offset collides: max doc_id {max_id}"
+    )
     dups = docs.filter("doc_id % 3 = 0").select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text",
         F.expr(

@@ -36,8 +36,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class ConcurrentOverwrite(RuntimeError):
+    """An overwrite commit found snapshots it did not derive from."""
+
+
+# Parquet physical types whose footer min/max are totally ordered and
+# never writer-truncated — the set for which envelope pruning is SOUND.
+# BYTE_ARRAY (string/binary) stats can be truncated by writers (and
+# bytes aren't JSON-serializable); BOOLEAN/INT96 add nothing.
+_NUMERIC_PHYSICAL = {"INT32", "INT64", "FLOAT", "DOUBLE"}
+
+
 def _file_stats(path: str, stats_cols: list[str]) -> dict:
-    """Row count + per-column min/max from the parquet footer only."""
+    """Row count + per-column min/max from the parquet footer only.
+
+    Raises on non-numeric stats columns: plan_scan's pruning contract
+    ("provably misses") only holds for exact, totally-ordered footer
+    statistics, so requesting stats on a string/binary column is a
+    caller bug, not a degraded mode.
+    """
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -45,6 +62,12 @@ def _file_stats(path: str, stats_cols: list[str]) -> dict:
     out = {"path": path, "rows": md.num_rows, "stats": {}}
     for col in stats_cols:
         idx = names[col]
+        phys = md.schema.column(idx).physical_type
+        if phys not in _NUMERIC_PHYSICAL:
+            raise ValueError(
+                f"stats column {col!r} has physical type {phys}; only "
+                f"{sorted(_NUMERIC_PHYSICAL)} give sound envelope pruning"
+            )
         lo = hi = None
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
@@ -66,11 +89,17 @@ def _snapshot_ids(table_dir: str | os.PathLike) -> list[int]:
 
 
 def write_snapshot(df: DataFrame, table_dir: str | os.PathLike,
-                   stats_cols: list[str], mode: str = "append") -> int:
+                   stats_cols: list[str], mode: str = "append",
+                   expected_parent: int | None = None) -> int:
     """Commit ``df`` as a new snapshot; returns its id.
 
     mode="append" keeps the parent snapshot's files live; "overwrite"
-    starts the file list fresh.
+    starts the file list fresh. ``expected_parent`` pins the snapshot
+    the write was DERIVED from: if any other writer commits first, the
+    commit raises ConcurrentOverwrite instead of silently dropping the
+    concurrent snapshot's rows from the new latest (the lost-update
+    hazard of a blind overwrite). Appends don't need it — an append
+    retried onto a newer parent keeps every concurrent file live.
 
     Concurrency: data files land in a UNIQUE directory (no dependence
     on the snapshot id), and the commit point is an exclusive
@@ -100,6 +129,11 @@ def write_snapshot(df: DataFrame, table_dir: str | os.PathLike,
         ids = _snapshot_ids(table_dir)
         new_id = (ids[-1] + 1) if ids else 1
         parent = ids[-1] if ids else None
+        if expected_parent is not None and parent != expected_parent:
+            raise ConcurrentOverwrite(
+                f"derived from snapshot {expected_parent} but latest is "
+                f"now {parent}; re-plan against the new snapshot"
+            )
         files = new_files
         if mode == "append" and parent is not None:
             files = _load_manifest(table_dir, parent)["files"] + new_files
@@ -199,9 +233,13 @@ def compact(spark: SparkSession, table_dir: str | os.PathLike,
         raise FileNotFoundError(f"no snapshots under {table_dir}")
     man = _load_manifest(table_dir, ids[-1])
     df = spark.read.parquet(*[f["path"] for f in man["files"]])
+    # pin the source snapshot: an append committed between this read
+    # and the commit must fail the rewrite (ConcurrentOverwrite), not
+    # vanish from the new latest
     return write_snapshot(
         df.coalesce(target_files), table_dir,
         stats_cols=man["stats_cols"], mode="overwrite",
+        expected_parent=ids[-1],
     )
 
 

@@ -12,10 +12,13 @@ event-time watermark passes ``horizon`` beyond the group's newest
 arrival. Bounded state at 10^12 docs: only groups still inside the
 horizon are live, everything older has been emitted and dropped.
 
-Grouping key here is the text itself (the gate fixture is small); the
-100-TB deployment keys by ``xxhash64(text)`` so the shuffle carries an
-int64, with the text length kept as a second key to make accidental
-hash collisions visible.
+Grouping key is ``(xxhash64(text), length(text))`` — the shuffle and
+the state store carry two int64s instead of the document text, which
+is what a 10^12-doc deployment requires. The length as a second key
+component makes any accidental 64-bit hash collision visible (two
+different texts colliding in BOTH xxhash64 and length would merge;
+colliding in hash alone cannot). ``key_by_text=True`` restores raw
+text keys for small exact fixtures.
 
 Cross-check: the driver gate (queries_misc.q_stream_dedup) plants one
 later-arriving duplicate for every third document and demands the
@@ -36,7 +39,7 @@ STATE_SCHEMA = ("first_doc long, first_ms long, last_ms long, "
                 "n_docs long, len_chars long")
 
 
-def _make_dedup_fn(horizon_ms: int):
+def _make_dedup_fn(horizon_ms: int, key_by_text: bool):
     def fn(key: Any, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
@@ -59,7 +62,9 @@ def _make_dedup_fn(horizon_ms: int):
         else:
             first_ms, first_doc = b
             last_ms, n = 0, 0
-            lc = len(key[0])
+            # key is (text,) or (text_hash, len_chars) — the length is
+            # recoverable from the key either way, never from the rows
+            lc = len(key[0]) if key_by_text else int(key[1])
         n += len(rows)
         last_ms = max(last_ms, int(ms.max()))
         deadline = last_ms + horizon_ms
@@ -79,22 +84,34 @@ def _make_dedup_fn(horizon_ms: int):
 
 
 def stream_dedup_first(docs: DataFrame, horizon: str = "1 hour",
-                       watermark: str = "0 seconds") -> DataFrame:
+                       watermark: str = "0 seconds",
+                       key_by_text: bool = False) -> DataFrame:
     """docs(doc_id long, text string, ts timestamp) [streaming] ->
     one (first_doc, n_docs, len_chars) row per distinct text, emitted
-    when the watermark passes the group's newest arrival + horizon."""
+    when the watermark passes the group's newest arrival + horizon.
+
+    Default grouping is (xxhash64(text), length(text)) — int64 shuffle
+    and state keys (see module docstring); only doc_id and ts reach the
+    stateful operator, the text never leaves the map side."""
+    from pyspark.sql import functions as F
+
     unit = horizon.split()
     mult = {"seconds": 1_000, "second": 1_000, "minutes": 60_000,
             "minute": 60_000, "hours": 3_600_000, "hour": 3_600_000}
     horizon_ms = int(unit[0]) * mult[unit[1]]
-    return (
-        docs.withWatermark("ts", watermark)
-        .groupBy("text")
-        .applyInPandasWithState(
-            _make_dedup_fn(horizon_ms),
-            OUT_SCHEMA,
-            STATE_SCHEMA,
-            "append",
-            GroupStateTimeout.EventTimeTimeout,
-        )
+    wm = docs.withWatermark("ts", watermark)
+    if key_by_text:
+        grouped = wm.groupBy("text")
+    else:
+        grouped = wm.select(
+            F.xxhash64("text").alias("text_hash"),
+            F.length("text").cast("long").alias("len_chars"),
+            "doc_id", "ts",
+        ).groupBy("text_hash", "len_chars")
+    return grouped.applyInPandasWithState(
+        _make_dedup_fn(horizon_ms, key_by_text),
+        OUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
     )

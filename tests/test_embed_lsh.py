@@ -67,3 +67,30 @@ def test_refine_matches_numpy_cosine(spark):
         want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(got.loc[i, "cosine"] - round(want, 6)) < 2e-6
         assert got.loc[i, "cosine"] > 0.9
+
+
+def test_degenerate_bucket_capped_linear_not_quadratic(spark):
+    """10^4 byte-identical embeddings land in ONE bucket per band; the
+    bucket cap must star-link them (O(n) candidates via the bucket
+    representative), never emit the O(n^2) all-pairs set — and the star
+    must still connect every member to the representative."""
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr("array(1.0D, 2.0D, -1.0D, 0.5D)").alias("embedding"),
+    )
+    pairs = lsh_candidate_pairs(df, bucket_cap=100).toPandas()
+    # star over the min id: exactly n-1 pairs, all anchored at id 0
+    assert len(pairs) == n - 1
+    assert (pairs["id_a"] == 0).all()
+    assert set(pairs["id_b"]) == set(range(1, n))
+
+
+def test_bucket_cap_no_effect_below_threshold(spark):
+    """Sub-cap buckets keep exact all-pairs semantics: results with a
+    huge cap equal results with the default cap on planted data."""
+    df, _, _ = _vecs(spark, n=60, parts=4)
+    a = lsh_candidate_pairs(df).toPandas()
+    b = lsh_candidate_pairs(df, bucket_cap=10**9).toPandas()
+    key = lambda p: set(map(tuple, p[["id_a", "id_b"]].to_numpy()))
+    assert key(a) == key(b)

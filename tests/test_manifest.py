@@ -185,3 +185,41 @@ def test_streaming_sink_commits_a_snapshot_per_batch(spark, table_dir):
     assert plan["snapshot_id"] == 2  # one commit per micro-batch
     assert read_snapshot(spark, table_dir).count() == 3_000
     assert read_snapshot(spark, table_dir, snapshot=1).count() == 2_000
+
+
+def test_overwrite_derived_from_stale_snapshot_raises(spark, table_dir):
+    """Lost-update guard: a rewrite (compaction) derived from snapshot
+    S must FAIL if another writer commits after S — silently committing
+    would drop the concurrent append from the new latest."""
+    from gpiv_spark.sources.manifest import ConcurrentOverwrite
+
+    s1 = write_snapshot(_docs(spark, 0, 1000), table_dir, stats_cols=["cell"])
+    # a concurrent append lands after the rewriter read s1
+    write_snapshot(_docs(spark, 1000, 2000), table_dir, stats_cols=["cell"])
+    rewritten = read_snapshot(spark, table_dir, snapshot=s1).coalesce(1)
+    with pytest.raises(ConcurrentOverwrite):
+        write_snapshot(rewritten, table_dir, stats_cols=["cell"],
+                       mode="overwrite", expected_parent=s1)
+    # nothing was committed; both snapshots' rows remain the latest
+    assert read_snapshot(spark, table_dir).count() == 2000
+
+
+def test_compact_still_works_without_contention(spark, table_dir):
+    from gpiv_spark.sources.manifest import compact
+
+    write_snapshot(_docs(spark, 0, 5000), table_dir, stats_cols=["cell"])
+    sid = compact(spark, table_dir, target_files=2)
+    plan = plan_scan(table_dir, snapshot=sid)
+    assert len(plan["files"]) <= 2
+    assert read_snapshot(spark, table_dir).count() == 5000
+
+
+def test_non_numeric_stats_column_rejected(spark, table_dir):
+    """Envelope pruning is only sound for numeric physical types;
+    requesting string/binary stats must raise, not degrade silently."""
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t-"), F.col("id")).alias("text"),
+    )
+    with pytest.raises(ValueError, match="physical type"):
+        write_snapshot(df, table_dir, stats_cols=["text"])

@@ -76,3 +76,44 @@ def test_first_seen_by_event_time_and_counts(spark):
         3: (2, 5),   # gamma: event-time winner is doc 3
         4: (1, 5),   # delta
     }
+
+
+def test_hashed_and_text_keys_agree(spark):
+    """Default (xxhash64, length) int64 state keys produce exactly the
+    raw-text-keyed output on a collision-free fixture."""
+    t0 = pd.Timestamp("2026-01-01")
+    s = lambda sec: (t0 + pd.Timedelta(seconds=sec)).to_pydatetime()
+    batch1 = [(i, f"text-{i % 5}", s(i)) for i in range(1, 16)]
+    flush = [(-1, "__flush__", (t0 + pd.Timedelta(days=400)).to_pydatetime())]
+
+    def run(key_by_text):
+        work = Path(tempfile.mkdtemp(prefix="sdedup_k_"))
+        try:
+            indir = work / "in"
+            spark.createDataFrame(batch1, SCHEMA).coalesce(2).write.mode(
+                "overwrite"
+            ).parquet(str(indir))
+            stream = spark.readStream.schema(SCHEMA).parquet(str(indir))
+            name = f"sdedup_k_{int(key_by_text)}"
+            q = (
+                stream_dedup_first(stream, horizon="1 hour",
+                                   key_by_text=key_by_text)
+                .writeStream.outputMode("append").format("memory")
+                .queryName(name)
+                .option("checkpointLocation", str(work / "ckpt"))
+                .start()
+            )
+            q.processAllAvailable()
+            spark.createDataFrame(flush, SCHEMA).write.mode("append").parquet(
+                str(indir)
+            )
+            q.processAllAvailable()
+            got = spark.table(name).toPandas()
+            q.stop()
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        return got[got["first_doc"] >= 0].sort_values("first_doc").reset_index(
+            drop=True
+        )
+
+    pd.testing.assert_frame_equal(run(False), run(True))
