@@ -5,10 +5,15 @@
 - ``export_covariances``: ground transform + bias-ready covariance rows
   matching covariances.json `[[x, y], [[c00, c01], [c10, c11]]]`
   (piv_functions.py:348-375).
-- ``write_raster_tiles``: the S3 replacement — raster long-form ->
-  partitioned parquet tiles + a JSON geo-transform sidecar (GeoTIFF
-  encoding itself is presentation-layer; rasterio is absent here and
-  out of engine scope per SURVEY S3).
+- ``write_raster``: S3 proper — single-band GeoTIFF bytes with the
+  reference's exact artifact contract (rasters.py:21-43: LZW, nodata
+  9999, affine from (ul, pixel_width, -pixel_height), EPSG geokey),
+  via the from-scratch encoder in sources/geotiff.py. Driver-side by
+  design: one output raster tile fits one writer, and the reference
+  emits one file per raster.
+- ``write_raster_tiles``: the distributed S3 variant — raster
+  long-form -> partitioned parquet tiles + a JSON geo-transform
+  sidecar, for rasters too large for one GeoTIFF writer.
 
 JSON exports use Spark's distributed json writer; the files are
 line-delimited JSON rows (one vector per line) rather than one array
@@ -68,6 +73,36 @@ def export_covariances(piv: DataFrame, out_dir: str) -> None:
             )
         ).alias("value")
     ).write.mode("overwrite").text(out_dir)
+
+
+def write_raster(outname: str, array, ul: tuple[float, float],
+                 pixel_width: float, pixel_height: float, epsg: int,
+                 nodata: float = 9999.0) -> None:
+    """S3: 2-D array -> GeoTIFF file, the reference's writer contract
+    (rasters.py:21-43): ``ul`` is the upper-left model coordinate, the
+    y pixel scale is negative (north-up), nodata defaults to 9999, LZW
+    compression, EPSG embedded as a GeoKey. NaNs are encoded as the
+    nodata value, exactly as the reference's gridded DEM/TPU arrays
+    carry them."""
+    import numpy as np
+
+    from gpiv_spark.sources.geotiff import write_geotiff
+
+    a = np.asarray(array, dtype=np.float64)
+    if a.ndim != 2:
+        raise ValueError("single-band 2-D array only")
+    a = np.where(np.isnan(a), nodata, a)
+    write_geotiff(
+        outname, a,
+        {
+            "ul_x": float(ul[0]),
+            "ul_y": float(ul[1]),
+            "pixel_width": float(pixel_width),
+            "pixel_height": float(pixel_height),
+            "epsg": int(epsg),
+            "nodata": float(nodata),
+        },
+    )
 
 
 def write_raster_tiles(raster: DataFrame, out_dir: str, tile: int = 128,

@@ -2,6 +2,8 @@
 
     python jobs/gpiv_cli.py piv BEFORE.tif AFTER.tif TEMPLATE STEP \
         [--prop BU.tif AU.tif] [--outname NAME] [--scale 2] [--cpus 8]
+    python jobs/gpiv_cli.py dem POINTS OUT_DEM.tif OUT_TPU.tif \
+        [--pixel 1.0] [--epsg 6344] [--cpus 8]
     python jobs/gpiv_cli.py pivshow BACKGROUND.tif [--vec vectors.json]
         [--ell covariances.json] [--vecscale S] [--ellscale S] [--out f.png]
 
@@ -118,6 +120,61 @@ def cmd_piv(args) -> None:
     spark.stop()
 
 
+def cmd_dem(args) -> None:
+    """Replicates the reference's DEM/TPU raster production
+    (run_test_v1.py:105-133: grid the point cloud's TIN, write
+    GeoTIFFs via rasters.py:21-43) with the engine's distributed TIN:
+    points -> per-cell Delaunay pack -> shuffle-free mapInPandas probe
+    of every pixel center -> DEM (interpolated z) and TPU
+    (propagated sigma_z, E3) GeoTIFFs through sinks.write_raster."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gpiv_spark.operators.tin import build_broadcast_pack, probe_docs
+    from gpiv_spark.session import get_spark
+    from gpiv_spark.sources import sinks
+
+    spark = get_spark("gpiv-dem", cpus=args.cpus)
+    if args.points.endswith((".las", ".LAS")):
+        from gpiv_spark.sources.las import las_table
+
+        pts = las_table(spark, args.points).withColumnRenamed(
+            "point_id", "pid"
+        )
+    else:
+        pts = spark.read.parquet(args.points)
+    b = pts.agg(
+        F.min("x"), F.max("x"), F.min("y"), F.max("y"),
+        F.avg("x"), F.avg("y"), F.avg("z"),
+    ).collect()[0]
+    pw = args.pixel
+    ul_x, ul_y = b[0], b[3]
+    width = int(np.ceil((b[1] - b[0]) / pw))
+    height = int(np.ceil((b[3] - b[2]) / pw))
+    grid = spark.range(width * height).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(ul_x) + (F.col("id") % width + 0.5) * pw).alias("x"),
+        (F.lit(ul_y) - (F.floor(F.col("id") / width) + 0.5) * pw).alias("y"),
+    )
+    bc = build_broadcast_pack(spark, pts, cell_res=4, index_res=9,
+                              halo_m=6.0, id_col="pid")
+    got = probe_docs(grid, bc, (b[4], b[5], b[6])).toPandas()
+    dem = np.full(width * height, np.nan)
+    tpu = np.full(width * height, np.nan)
+    idx = got["doc_id"].to_numpy()
+    dem[idx] = got["zp"].to_numpy()
+    tpu[idx] = np.sqrt(got["var_zp"].to_numpy())
+    for path, arr in ((args.out_dem, dem), (args.out_tpu, tpu)):
+        sinks.write_raster(path, arr.reshape(height, width), (ul_x, ul_y),
+                           pw, pw, args.epsg)
+    print(json.dumps({
+        "dem": args.out_dem, "tpu": args.out_tpu,
+        "shape": [height, width],
+        "filled": int(len(idx)), "pixels": width * height,
+    }))
+    spark.stop()
+
+
 def cmd_pivshow(args) -> None:
     import numpy as np
 
@@ -209,6 +266,17 @@ def main() -> None:
                    help="search scale (reference hardcodes 2)")
     p.add_argument("--cpus", type=int, default=8)
     p.set_defaults(fn=cmd_piv)
+
+    g = sub.add_parser(
+        "dem", help="grid a point cloud's TIN into DEM + TPU GeoTIFFs"
+    )
+    g.add_argument("points", help="parquet dir (pid,x,y,z,var_*) or .las")
+    g.add_argument("out_dem")
+    g.add_argument("out_tpu")
+    g.add_argument("--pixel", type=float, default=1.0)
+    g.add_argument("--epsg", type=int, default=6344)
+    g.add_argument("--cpus", type=int, default=8)
+    g.set_defaults(fn=cmd_dem)
 
     s = sub.add_parser("pivshow", help="render vectors/ellipses over a DEM")
     s.add_argument("background_image")
