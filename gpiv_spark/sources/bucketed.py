@@ -32,9 +32,17 @@ def ensure_database(spark: SparkSession, name: str, location: str) -> None:
 def write_bucketed(df: DataFrame, table: str, bucket_col: str,
                    n_buckets: int) -> None:
     """Persist ``df`` hash-bucketed AND sorted by ``bucket_col`` —
-    sorted buckets let the co-located SortMergeJoin skip its Sort."""
+    sorted buckets let the co-located SortMergeJoin skip its Sort.
+
+    The frame is repartitioned on the bucket column first (Spark's
+    repartition and bucket assignment share Murmur3-pmod hashing), so
+    every write task holds exactly one bucket and each bucket is ONE
+    file. Without this, every upstream task emits a file per bucket —
+    tasks x buckets small files — and a multi-file bucket forfeits the
+    sorted-read property, putting the Sort back into every join."""
     (
-        df.write.mode("overwrite")
+        df.repartition(n_buckets, bucket_col)
+        .write.mode("overwrite")
         .bucketBy(n_buckets, bucket_col)
         .sortBy(bucket_col)
         .format("parquet")
