@@ -811,8 +811,39 @@ def pack_triangle_index(full_tbl, index_res: int) -> dict:
     return pack
 
 
+# Cache-blocking for the probe kernel: at Arrow's 65536-row batches
+# every intermediate array (~3.4 candidates/point x 8 B x dozens of
+# temporaries in the geometry/Jacobian chain) is ~1.8 MB — past L2, so
+# each numpy op round-trips DRAM, and 32 concurrent workers saturate
+# memory bandwidth. Measured on this box (pinned multiprocessing,
+# 2 waves/level, best-of-2): 8->32 weak-scaling efficiency 0.67 at
+# 65536-row chunks vs 0.78-0.82 at 2-8k chunks, with 32-way absolute
+# throughput +25%; single-threaded the 4k chunk is also ~24% faster.
+# Results are bit-identical (per-point math, chunking only).
+PROBE_CHUNK = 4096
+
+
 def _probe_batch(idx: dict, x: np.ndarray, y: np.ndarray,
                  centroid: tuple) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Cache-blocked driver over _probe_batch_core (see PROBE_CHUNK)."""
+    n = len(x)
+    if n <= PROBE_CHUNK:
+        return _probe_batch_core(idx, x, y, centroid)
+    zp = np.empty(n)
+    var = np.empty(n)
+    found = np.empty(n, dtype=bool)
+    for s in range(0, n, PROBE_CHUNK):
+        e = s + PROBE_CHUNK
+        z, v, f = _probe_batch_core(idx, x[s:e], y[s:e], centroid)
+        zp[s:e] = z
+        var[s:e] = v
+        found[s:e] = f
+    return zp, var, found
+
+
+def _probe_batch_core(idx: dict, x: np.ndarray, y: np.ndarray,
+                      centroid: tuple
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized containment + P2/P3/P5/E3 for one batch of points."""
     nf = idx["nf"]
     fsize = _EXT / nf
