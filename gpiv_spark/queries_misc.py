@@ -1294,6 +1294,104 @@ def q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+# --- span_chunk: budget-bounded training-window chunking --------------------
+# A training pipeline over interleaved docs re-chunks them into bounded
+# windows WITHOUT splitting a span (spans are atomic: a media ref or a
+# text run). Policy: offset-bucketed chunking — a span belongs to chunk
+# floor(start_offset / budget), so chunk assignment is one stateless
+# projection (no sequential accumulator, no per-doc scan: the policy
+# that actually runs at 10^12 docs). A chunk can exceed the budget by
+# at most one span's length minus 1; single oversized spans get their
+# own chunk. The engine computes from the ACTUAL stored span structs;
+# the oracle replays the fixture's generative formula — so the stored
+# offsets are cross-validated against their closed-form reconstruction
+# (same discipline as span_stats).
+
+_CHUNK_BUDGET = 48
+
+
+def _span_chunk_oracle(n_docs: int = 500, budget: int = _CHUNK_BUDGET) -> str:
+    from gpiv_spark.fixtures import WORDS
+
+    wl = ", ".join(f"({i}, {len(w)})" for i, w in enumerate(WORDS))
+    return f"""
+    WITH wl(idx, wlen) AS (VALUES {wl}),
+    d AS (SELECT CAST(r.range AS BIGINT) AS i FROM range({n_docs}) r),
+    s AS (SELECT d.i, CAST(j.range AS BIGINT) AS j
+          FROM d CROSS JOIN range(8) j
+          WHERE CAST(j.range AS BIGINT) < 1 + (d.i * 7919) % 8),
+    t AS (SELECT i, j, (i * 31 + j * 17) % 16 AS k, (i + j) % 5 + 2 AS cnt
+          FROM s WHERE (i + j * 13) % 3 = 0),
+    tlen AS (
+      SELECT t.i, t.j, CAST(sum(w.wlen) + t.cnt - 1 AS BIGINT) AS text_len
+      FROM t JOIN range(6) tt ON CAST(tt.range AS BIGINT) < t.cnt
+             JOIN wl w ON w.idx = (t.k + CAST(tt.range AS BIGINT)) % 16
+      GROUP BY t.i, t.j, t.cnt
+    ),
+    m AS (
+      SELECT i, j,
+             20 + (CASE WHEN i % 97 < 10 THEN 1 ELSE 2 END)
+                + (CASE WHEN (i * 131 + j) % 9973 < 10 THEN 1
+                        WHEN (i * 131 + j) % 9973 < 100 THEN 2
+                        WHEN (i * 131 + j) % 9973 < 1000 THEN 3
+                        ELSE 4 END) AS media_len
+      FROM s WHERE (i + j * 13) % 3 <> 0
+    ),
+    per AS (
+      SELECT s.i, s.j,
+             (s.i + s.j * 13) % 3 = 0 AS is_text,
+             1 + COALESCE(tl.text_len, 0) + COALESCE(m.media_len, 0) AS cost
+      FROM s LEFT JOIN tlen tl ON tl.i = s.i AND tl.j = s.j
+             LEFT JOIN m ON m.i = s.i AND m.j = s.j
+    ),
+    offs AS (
+      SELECT i, j, is_text, cost,
+             COALESCE(sum(cost) OVER (
+               PARTITION BY i ORDER BY j
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS start_off
+      FROM per
+    )
+    SELECT printf('doc-%08d', i) AS doc_id,
+           CAST(start_off // {budget} AS BIGINT) AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN is_text THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_text,
+           CAST(sum(CASE WHEN is_text THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_media,
+           CAST(sum(cost) AS BIGINT) AS chunk_chars,
+           CAST(min(start_off) AS BIGINT) AS start_offset
+    FROM offs GROUP BY i, start_off // {budget}
+    """
+
+
+@register("span_chunk", _span_chunk_oracle(), gate=False)
+def q_span_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpiv_spark import fixtures
+
+    docs = fixtures.spans_documents(spark, n_docs=500)
+    ex = docs.select(
+        "doc_id", F.posexplode("spans").alias("pos", "s")
+    ).select(
+        "doc_id",
+        (F.col("s.kind") == "text").alias("is_text"),
+        (F.lit(1) + F.length("s.text") + F.length("s.media_ref"))
+        .cast("long").alias("cost"),
+        F.col("s.offset").cast("long").alias("start_off"),
+        # offset-bucketed chunk id straight off the stored offset —
+        # one stateless projection, no window, no per-doc scan
+        F.floor(F.col("s.offset") / _CHUNK_BUDGET).cast("long")
+        .alias("chunk_id"),
+    )
+    return ex.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("is_text").cast("long")).alias("n_text"),
+        F.sum((~F.col("is_text")).cast("long")).alias("n_media"),
+        F.sum("cost").alias("chunk_chars"),
+        F.min("start_off").alias("start_offset"),
+    )
+
+
 # --- manifest_prune: Iceberg-style snapshot scan in the driver gate ----------
 # Documents geocoded to Z-order cells land in a snapshot/manifest table
 # (sources/manifest.py) range-clustered by cell, then are read back
