@@ -54,25 +54,33 @@ def band_signatures(vecs: DataFrame, id_col: str = "vec_id",
     """
     n_planes = n_bands * bits
     weights = (1 << np.arange(bits - 1, -1, -1, dtype=np.int64))
+    # cache blocking, same finding as operators/tin.py PROBE_CHUNK: at
+    # full 65536-row Arrow batches the X @ H product and its sign/pack
+    # temporaries are tens of MB each — past L2, so concurrent workers
+    # contend on DRAM bandwidth. 4096-row chunks keep them ~4 MB.
+    chunk = 4096
 
     def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         h = None
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            x = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            if h is None:
-                h = hyperplane_matrix(x.shape[1], n_planes)
-            bits_mat = (x @ h > 0).reshape(len(pdf), n_bands, bits)
-            bv = (bits_mat * weights).sum(axis=2)  # (n, n_bands) int64
-            ids = pdf[id_col].to_numpy()
-            yield pd.DataFrame({
-                id_col: np.repeat(ids, n_bands),
-                "band": np.tile(np.arange(n_bands, dtype=np.int64), len(pdf)),
-                "bv": bv.reshape(-1),
-            })
+            for s in range(0, len(pdf), chunk):
+                part = pdf.iloc[s:s + chunk]
+                if len(part) == 0:
+                    continue
+                x = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in part[vec_col]]
+                )
+                if h is None:
+                    h = hyperplane_matrix(x.shape[1], n_planes)
+                bits_mat = (x @ h > 0).reshape(len(part), n_bands, bits)
+                bv = (bits_mat * weights).sum(axis=2)  # (n, n_bands) int64
+                ids = part[id_col].to_numpy()
+                yield pd.DataFrame({
+                    id_col: np.repeat(ids, n_bands),
+                    "band": np.tile(
+                        np.arange(n_bands, dtype=np.int64), len(part)),
+                    "bv": bv.reshape(-1),
+                })
 
     return vecs.mapInPandas(sig, f"{id_col} long, band long, bv long")
 
