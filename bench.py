@@ -490,8 +490,11 @@ def bucketed_bench(spark, n_docs: int, n_buckets: int = 64) -> dict:
         ).agg(F.count("*"), F.sum("n"), F.sum("q"))
 
     out = {"n_docs": n_docs, "n_buckets": n_buckets}
+    # capture BEFORE the try: if unset, RuntimeConfig.get(key, None)
+    # returns None and the restore must UNSET, not skip — otherwise the
+    # session keeps broadcast joins disabled after this bench returns
+    with_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
     try:
-        with_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
         def timed(mk):
@@ -520,6 +523,8 @@ def bucketed_bench(spark, n_docs: int, n_buckets: int = 64) -> dict:
     finally:
         if with_bc is not None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_bc)
+        else:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {db}.docs_b")
         spark.sql(f"DROP TABLE IF EXISTS {db}.canon_b")
         spark.sql(f"DROP DATABASE IF EXISTS {db}")

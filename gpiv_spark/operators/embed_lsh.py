@@ -102,14 +102,14 @@ def lsh_candidate_pairs(vecs: DataFrame, id_col: str = "vec_id",
     O(bucket_cap * n). Sub-cap buckets keep exact all-pairs semantics;
     real data never hits the cap (background band collision ~2^-16).
 
-    Signatures are computed ONCE: the mapInPandas kernel's output is
-    localCheckpoint-ed before the self-join, otherwise each join side
-    would re-execute it.
+    Signatures are computed ONCE: the windowed size/representative
+    frame below is localCheckpoint-ed before fanning out to its three
+    consumers, so the mapInPandas signature kernel (upstream of the
+    window) runs exactly one pass — no second checkpoint needed.
     """
     from pyspark.sql import Window
 
     sig = band_signatures(vecs, id_col, vec_col, n_bands, bits)
-    sig = sig.localCheckpoint(eager=True)
     # one shuffle on (band, bv) computes size + representative; the
     # self-join below reuses the same key, so no extra exchange class
     w = Window.partitionBy("band", "bv")

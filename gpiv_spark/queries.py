@@ -614,8 +614,10 @@ from gpiv_spark import queries_tin as _queries_tin  # noqa: E402,F401
 from gpiv_spark import queries_misc as _queries_misc  # noqa: E402,F401
 
 # Hard invariant: every driver-facing entry gets a CORRECTNESS row.
-# (import-time, so any registration past the cap fails tests instantly)
-assert len(REGISTRY) <= GATE_CAP, (
-    f"driver gate verifies only the first {GATE_CAP} queries; REGISTRY "
-    f"holds {len(REGISTRY)} — move redundant ones to gate=False"
-)
+# (import-time, so any registration past the cap fails tests instantly;
+# a real raise, not assert — python -O must not strip the gate guard)
+if len(REGISTRY) > GATE_CAP:
+    raise RuntimeError(
+        f"driver gate verifies only the first {GATE_CAP} queries; REGISTRY "
+        f"holds {len(REGISTRY)} — move redundant ones to gate=False"
+    )

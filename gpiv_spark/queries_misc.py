@@ -1159,9 +1159,12 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (at >=1M docs the planted ids would alias originals and corrupt
     # both the first-seen winner and the counts) — fail loudly instead
     max_id = docs.agg(F.max("doc_id")).first()[0]
-    assert max_id is not None and max_id < 1_000_000, (
-        f"stream_dedup plant offset collides: max doc_id {max_id}"
-    )
+    if max_id is None or max_id >= 1_000_000:
+        # a raise, not assert: python -O must not strip a data-
+        # corruption guard
+        raise ValueError(
+            f"stream_dedup plant offset collides: max doc_id {max_id}"
+        )
     dups = docs.filter("doc_id % 3 = 0").select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text",
         F.expr(

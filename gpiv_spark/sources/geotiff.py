@@ -287,7 +287,6 @@ def write_geotiff(path: str, arr: np.ndarray, geo: dict | None = None,
             nd = f"{geo['nodata']:.17g}".encode() + b"\0"
             tags[42113] = (2, (nd,))
 
-    type_size = {2: 1, 3: 2, 4: 4, 12: 8}
     type_fmt = {3: "H", 4: "I", 12: "d"}
     n_tags = len(tags)
     ifd_off = 8
