@@ -461,7 +461,10 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # feature — container byte counts included — in closed-form SQL; a
 # header-parsing bug on either side breaks the hash.
 
-_MEDIA_ORACLE = """
+# Shared fixture-replay CTE: the media spans of fixtures.spans_documents
+# as (i=doc index, j=span index, kind, mnum) — the oracle-side stand-in
+# for "documents -> explode media spans".
+_MEDIA_CTE = """
     WITH nn AS (
       SELECT least(greatest(200, count(*) // 2), 1000) AS n FROM documents
     ),
@@ -475,7 +478,10 @@ _MEDIA_ORACLE = """
                  CASE WHEN (i + j * 13) % 3 = 1 THEN 'image'
                       ELSE 'audio' END AS kind,
                  (i * 131 + j) % 9973 AS mnum
-          FROM s WHERE (i + j * 13) % 3 <> 0),
+          FROM s WHERE (i + j * 13) % 3 <> 0)
+"""
+
+_MEDIA_ORACLE = _MEDIA_CTE + """,
     a AS (SELECT i, j, mnum, 800 + mnum % 1600 AS n
           FROM m WHERE kind = 'audio'),
     audio_feat AS (
@@ -511,8 +517,14 @@ _MEDIA_ORACLE = """
 """
 
 
-@register("media_features", _MEDIA_ORACLE)
-def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _media_blob_df(spark: SparkSession, sf_dir: str,
+                   kind: str | None = None) -> DataFrame:
+    """documents -> exploded media spans -> REAL container bytes.
+
+    The Iceberg-binary-column stand-in: synthesizes deterministic
+    fixture bytes per media_ref (sources/media.py); a real deployment
+    selects the blob column off the table here. Map-side only.
+    """
     import numpy as np
     import pandas as pd
 
@@ -526,11 +538,10 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s.kind") != "text")
         .select("doc_id", "s.kind", "s.media_ref")
     )
+    if kind is not None:
+        media = media.filter(F.col("kind") == kind)
 
     def fetch_blob(batches):
-        # Iceberg-binary-column stand-in: synthesize the container bytes
-        # for each media_ref (deterministic fixture, sources/media.py);
-        # a real deployment selects the blob column off the table here.
         for pdf in batches:
             mnum = (
                 pdf["media_ref"].astype(str)
@@ -541,6 +552,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "kind": pdf["kind"],
+                    "media_ref": pdf["media_ref"],
                     "blob": [
                         md.synth_media_blob(k, int(m))
                         for k, m in zip(pdf["kind"], mnum)
@@ -548,10 +560,18 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = media.mapInPandas(
-        fetch_blob, "doc_id string, kind string, blob binary"
+    return media.mapInPandas(
+        fetch_blob,
+        "doc_id string, kind string, media_ref string, blob binary",
     )
-    feats = blobs.mapInPandas(
+
+
+@register("media_features", _MEDIA_ORACLE)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpiv_spark.sources import media as md
+
+    blobs = _media_blob_df(spark, sf_dir)
+    feats = blobs.drop("media_ref").mapInPandas(
         md.decode_features_batches,
         "doc_id string, kind string, n_bytes long, feat double",
     )
@@ -559,6 +579,114 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_media"),
         F.sum("n_bytes").alias("total_bytes"),
         F.round(F.avg("feat"), 6).alias("avg_feat"),
+    )
+
+
+# --- media_resize: bilinear thumbnail resize in exact q10 fixed point -------
+# decode BMP -> channel-mean luma -> 16x16 bilinear resize (the
+# thumbnail / embedding-input prep step of a multimodal training
+# pipeline). align_corners=False positions are dyadics /32, so the
+# whole kernel is exact int64 at x1024 scale (sources/media.py
+# resize_q10) and the oracle replays every output pixel bit-for-bit
+# from the fixture formula v(r,c) = (mnum + r*7 + c*3) % 256.
+
+_RESIZE_ORACLE = _MEDIA_CTE + """,
+    im AS (SELECT i, j, mnum, 8 + mnum % 24 AS w, 8 + (mnum // 7) % 24 AS h
+           FROM m WHERE kind = 'image'),
+    op AS (SELECT im.*, CAST(oi.range AS BIGINT) AS oi,
+                  CAST(oj.range AS BIGINT) AS oj
+           FROM im CROSS JOIN range(16) oi CROSS JOIN range(16) oj),
+    g AS (SELECT i, j, mnum, w, h, oi, oj,
+            least(greatest(h * (2 * oi + 1) - 16, 0), 32 * (h - 1)) AS y32,
+            least(greatest(w * (2 * oj + 1) - 16, 0), 32 * (w - 1)) AS x32
+          FROM op),
+    bl AS (SELECT i, j, mnum, w, h, oi, oj,
+             y32 // 32 AS y0, y32 % 32 AS fa,
+             x32 // 32 AS x0, x32 % 32 AS fb,
+             least(y32 // 32 + 1, h - 1) AS y1,
+             least(x32 // 32 + 1, w - 1) AS x1
+           FROM g),
+    v AS (SELECT i, j, mnum, oi, oj,
+            (32 - fa) * (32 - fb) * ((mnum + y0 * 7 + x0 * 3) % 256)
+          + (32 - fa) * fb        * ((mnum + y0 * 7 + x1 * 3) % 256)
+          + fa * (32 - fb)        * ((mnum + y1 * 7 + x0 * 3) % 256)
+          + fa * fb               * ((mnum + y1 * 7 + x1 * 3) % 256) AS val
+          FROM bl)
+    SELECT 'doc-' || lpad(CAST(i AS VARCHAR), 8, '0') AS doc_id,
+           'image://bucket/' || CAST(i % 97 AS VARCHAR) || '/'
+             || CAST(mnum AS VARCHAR) || '.bin' AS media_ref,
+           CAST(sum(val) AS BIGINT) AS sum_q10,
+           CAST(max(CASE WHEN oi = 0 AND oj = 0 THEN val END) AS BIGINT)
+             AS p00_q10,
+           CAST(max(CASE WHEN oi = 8 AND oj = 8 THEN val END) AS BIGINT)
+             AS p88_q10,
+           CAST(max(CASE WHEN oi = 15 AND oj = 15 THEN val END) AS BIGINT)
+             AS p1515_q10
+    FROM v GROUP BY i, j, mnum
+"""
+
+
+@register("media_resize", _RESIZE_ORACLE)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear 16x16 thumbnail over the image spans, exact q10 ints."""
+    from gpiv_spark.sources import media as md
+
+    blobs = _media_blob_df(spark, sf_dir, kind="image")
+    return blobs.mapInPandas(
+        md.resize_features_batches,
+        "doc_id string, media_ref string, sum_q10 long, p00_q10 long, "
+        "p88_q10 long, p1515_q10 long",
+    )
+
+
+# --- audio_frames: PCM frame-sampling (STFT framing), exact int64 -----------
+# decode WAV -> frames of 256 samples / hop 128 -> per-frame energy;
+# per clip: frame count, total energy, first peak frame + its energy.
+# All int64 (energy <= 256 * 1000^2), so the oracle replay of
+# s_t = ((mnum*31 + t*17) % 2001) - 1000 is bit-exact.
+
+_FRAMES_ORACLE = _MEDIA_CTE + """,
+    a AS (SELECT i, j, mnum, 800 + mnum % 1600 AS n
+          FROM m WHERE kind = 'audio'),
+    fr AS (SELECT a.*, CAST(f.range AS BIGINT) AS frame
+           FROM a JOIN range(17) f
+             ON CAST(f.range AS BIGINT) < 1 + (a.n - 256) // 128),
+    fe AS (SELECT i, j, mnum, frame,
+             CAST(sum(
+               ((mnum * 31 + (frame * 128 + CAST(t.range AS BIGINT)) * 17)
+                  % 2001 - 1000)
+             * ((mnum * 31 + (frame * 128 + CAST(t.range AS BIGINT)) * 17)
+                  % 2001 - 1000)
+             ) AS BIGINT) AS energy
+           FROM fr CROSS JOIN range(256) t
+           GROUP BY i, j, mnum, frame),
+    pk AS (SELECT i, j, mnum,
+             CAST(count(*) AS BIGINT) AS n_frames,
+             CAST(sum(energy) AS BIGINT) AS total_energy,
+             CAST(max(energy) AS BIGINT) AS peak_energy
+           FROM fe GROUP BY i, j, mnum),
+    sel AS (SELECT fe.i, fe.j, CAST(min(fe.frame) AS BIGINT) AS peak_frame
+            FROM fe JOIN pk ON fe.i = pk.i AND fe.j = pk.j
+                           AND fe.energy = pk.peak_energy
+            GROUP BY fe.i, fe.j)
+    SELECT 'doc-' || lpad(CAST(pk.i AS VARCHAR), 8, '0') AS doc_id,
+           'audio://bucket/' || CAST(pk.i % 97 AS VARCHAR) || '/'
+             || CAST(pk.mnum AS VARCHAR) || '.bin' AS media_ref,
+           pk.n_frames, pk.total_energy, sel.peak_frame, pk.peak_energy
+    FROM pk JOIN sel ON pk.i = sel.i AND pk.j = sel.j
+"""
+
+
+@register("audio_frames", _FRAMES_ORACLE)
+def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STFT-style frame sampling over the audio spans, exact int64."""
+    from gpiv_spark.sources import media as md
+
+    blobs = _media_blob_df(spark, sf_dir, kind="audio")
+    return blobs.mapInPandas(
+        md.frame_features_batches,
+        "doc_id string, media_ref string, n_frames long, "
+        "total_energy long, peak_frame long, peak_energy long",
     )
 
 

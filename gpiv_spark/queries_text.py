@@ -69,7 +69,11 @@ def _token_regex_sql(d) -> str:
     """
 
 
-@register("token_regex", _token_regex_sql(DUCKDB))
+# gate=False (round 4): near-twin of the gated token_stats (same scan,
+# BPE-ish regex variant of the same counting template) — retired to
+# free a gate slot for the media resize/frame-sample operators. Still
+# verified by tools/check_oracles.py + tests/test_retired_oracles.py.
+@register("token_regex", _token_regex_sql(DUCKDB), gate=False)
 def q_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_both(spark, sf_dir, _token_regex_sql(SPARK))
 
@@ -111,7 +115,11 @@ def _lang_sql(d) -> str:
     """
 
 
-@register("lang_id", _lang_sql(DUCKDB))
+# gate=False (round 4): parity-only twin — the TESTDATA text is
+# English-ish under every label, so this row only pins the dual-dialect
+# scoring math; the FALSIFIABLE check is lang_id_planted below. Still
+# verified by tools/check_oracles.py + tests/test_retired_oracles.py.
+@register("lang_id", _lang_sql(DUCKDB), gate=False)
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_both(spark, sf_dir, _lang_sql(SPARK))
 

@@ -164,6 +164,166 @@ def synth_media_blob(kind: str, mnum: int) -> bytes:
     raise ValueError(f"unknown media kind {kind!r}")
 
 
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Pure-NumPy bilinear resample of a 2-D float64 image.
+
+    align_corners=False convention (the one PIL/OpenCV/torch default
+    to): output pixel centers map to ``(o + 0.5) * in / out - 0.5`` in
+    source coordinates, clamped to the source grid. The arithmetic is
+    written in exactly the order the SQL oracle replays it
+    (left-to-right affine ops on doubles), so per-pixel values are
+    bit-comparable before the final rounding.
+    """
+    h, w = img.shape
+    y = np.clip((np.arange(out_h, dtype=np.float64) + 0.5) * h / out_h - 0.5,
+                0.0, h - 1.0)
+    x = np.clip((np.arange(out_w, dtype=np.float64) + 0.5) * w / out_w - 0.5,
+                0.0, w - 1.0)
+    y0 = np.floor(y).astype(np.int64)
+    x0 = np.floor(x).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (y - y0)[:, None]
+    fx = (x - x0)[None, :]
+    v00 = img[np.ix_(y0, x0)]
+    v01 = img[np.ix_(y0, x1)]
+    v10 = img[np.ix_(y1, x0)]
+    v11 = img[np.ix_(y1, x1)]
+    return ((1.0 - fy) * (1.0 - fx) * v00 + (1.0 - fy) * fx * v01
+            + fy * (1.0 - fx) * v10 + fy * fx * v11)
+
+
+def frame_energies(samples: np.ndarray, frame_len: int = 256,
+                   hop: int = 128) -> np.ndarray:
+    """Frame-sample a PCM signal: int64 energy per sliding frame.
+
+    Frames of ``frame_len`` samples every ``hop`` samples (tail shorter
+    than a full frame dropped — the standard STFT framing). Energy is
+    the exact int64 sum of squares, so the oracle reproduces it
+    bit-for-bit in SQL.
+    """
+    s = np.asarray(samples, dtype=np.int64)
+    n = len(s)
+    if n < frame_len:
+        return np.zeros(0, dtype=np.int64)
+    nf = 1 + (n - frame_len) // hop
+    idx = (np.arange(frame_len, dtype=np.int64)[None, :]
+           + hop * np.arange(nf, dtype=np.int64)[:, None])
+    f = s[idx]
+    return np.einsum("ij,ij->i", f, f)
+
+
+def resize_q10(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize of an INTEGER image in q10 fixed point (x1024).
+
+    Same align_corners=False geometry as ``resize_bilinear``, but for
+    out = 16 the source positions ``(o + 0.5) * in / 16 - 0.5`` are
+    dyadic rationals with denominator 32, so scaling by 32 keeps every
+    coordinate an exact int64: ``y32 = in * (2*o + 1) - 16`` (clamped).
+    The four bilinear weights become integers summing to 1024 and the
+    whole kernel is exact int64 — float round-half ties (numpy's
+    half-even vs SQL's half-away) can never flip a digit of the result.
+    ``resize_q10(img) / 1024`` equals ``resize_bilinear`` exactly.
+
+    Requires out_h == out_w == 16 to keep the 32-denominator contract.
+    """
+    if out_h != 16 or out_w != 16:
+        raise ValueError("q10 path is specified for 16x16 output")
+    h, w = img.shape
+    v = img.astype(np.int64)
+    y32 = np.clip(h * (2 * np.arange(out_h, dtype=np.int64) + 1) - 16,
+                  0, 32 * (h - 1))
+    x32 = np.clip(w * (2 * np.arange(out_w, dtype=np.int64) + 1) - 16,
+                  0, 32 * (w - 1))
+    y0, a = y32 // 32, y32 % 32
+    x0, b = x32 // 32, x32 % 32
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    a = a[:, None]
+    b = b[None, :]
+    return ((32 - a) * (32 - b) * v[np.ix_(y0, x0)]
+            + (32 - a) * b * v[np.ix_(y0, x1)]
+            + a * (32 - b) * v[np.ix_(y1, x0)]
+            + a * b * v[np.ix_(y1, x1)])
+
+
+def resize_features_batches(batches, out_h: int = 16, out_w: int = 16):
+    """mapInPandas kernel: (doc_id, kind, media_ref, blob) image rows ->
+    bilinear-resize features in exact q10 fixed point.
+
+    Decodes the REAL BMP bytes, takes channel-mean luma (exact for the
+    grey fixture), resizes to (out_h, out_w) via ``resize_q10``, and
+    emits one row per image: the q10 pixel SUM + three q10 probe
+    pixels, all bit-exact int64. Map-side only — the blob column
+    streams through Arrow batches, no shuffle; the 100-TB shape for
+    thumbnailing / embedding-input prep.
+    """
+    import pandas as pd
+
+    for pdf in batches:
+        n = len(pdf)
+        sum_q10 = np.empty(n, dtype=np.int64)
+        p00 = np.empty(n, dtype=np.int64)
+        p88 = np.empty(n, dtype=np.int64)
+        p1515 = np.empty(n, dtype=np.int64)
+        for i, blob in enumerate(pdf["blob"].to_numpy()):
+            img = decode_bmp(bytes(blob))["pixels"].astype(np.int64)
+            # channel-mean luma; fixture channels are equal so the mean
+            # IS the channel value — keep it integer (assert, don't drift)
+            s = img.sum(axis=2)
+            if (s % 3).any():
+                raise MediaFormatError("non-grey image in q10 luma path")
+            out = resize_q10(s // 3, out_h, out_w)
+            sum_q10[i] = int(out.sum())
+            p00[i] = out[0, 0]
+            p88[i] = out[out_h // 2, out_w // 2]
+            p1515[i] = out[out_h - 1, out_w - 1]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_ref": pdf["media_ref"],
+                "sum_q10": sum_q10,
+                "p00_q10": p00,
+                "p88_q10": p88,
+                "p1515_q10": p1515,
+            }
+        )
+
+
+def frame_features_batches(batches, frame_len: int = 256, hop: int = 128):
+    """mapInPandas kernel: (doc_id, kind, media_ref, blob) audio rows ->
+    per-clip frame-sampling stats, all exact int64.
+
+    peak_frame is the FIRST index attaining the max energy (ties break
+    low, matching the SQL oracle's min(frame) over maxima).
+    """
+    import pandas as pd
+
+    for pdf in batches:
+        n = len(pdf)
+        n_frames = np.empty(n, dtype=np.int64)
+        total_energy = np.empty(n, dtype=np.int64)
+        peak_frame = np.empty(n, dtype=np.int64)
+        peak_energy = np.empty(n, dtype=np.int64)
+        for i, blob in enumerate(pdf["blob"].to_numpy()):
+            e = frame_energies(decode_wav(bytes(blob))["samples"],
+                               frame_len, hop)
+            n_frames[i] = len(e)
+            total_energy[i] = int(e.sum())
+            peak_frame[i] = int(e.argmax()) if len(e) else -1
+            peak_energy[i] = int(e.max()) if len(e) else 0
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_ref": pdf["media_ref"],
+                "n_frames": n_frames,
+                "total_energy": total_energy,
+                "peak_frame": peak_frame,
+                "peak_energy": peak_energy,
+            }
+        )
+
+
 def decode_features_batches(batches):
     """mapInPandas kernel: (doc_id, kind, media_ref, blob) -> features.
 

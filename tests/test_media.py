@@ -86,3 +86,68 @@ def test_synth_blob_matches_formula():
         c = np.arange(w)[None, :]
         v = (mnum + r * 7 + c * 3) % 256
         np.testing.assert_allclose(bmp["mean_luma"], v.mean())
+
+
+def test_resize_q10_equals_float_bilinear():
+    """The exact-int64 q10 kernel is the float bilinear kernel x1024."""
+    rng = np.random.default_rng(11)
+    for _ in range(50):
+        h = int(rng.integers(8, 32))
+        w = int(rng.integers(8, 32))
+        img = rng.integers(0, 256, (h, w)).astype(np.int64)
+        q = md.resize_q10(img, 16, 16)
+        f = md.resize_bilinear(img.astype(np.float64), 16, 16)
+        np.testing.assert_allclose(q / 1024.0, f, rtol=0, atol=1e-12)
+
+
+def test_resize_q10_identity_on_16x16():
+    """Resizing a 16x16 image to 16x16 is the identity (x1024)."""
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (16, 16)).astype(np.int64)
+    np.testing.assert_array_equal(md.resize_q10(img, 16, 16), img * 1024)
+
+
+def test_resize_q10_constant_image():
+    """A constant image resizes to the same constant at any size."""
+    for h, w in [(8, 8), (9, 31), (31, 9)]:
+        img = np.full((h, w), 77, dtype=np.int64)
+        np.testing.assert_array_equal(
+            md.resize_q10(img, 16, 16), np.full((16, 16), 77 * 1024)
+        )
+
+
+def test_frame_energies_exact_vs_naive():
+    rng = np.random.default_rng(13)
+    for _ in range(20):
+        n = int(rng.integers(256, 3000))
+        s = rng.integers(-1000, 1001, n).astype(np.int16)
+        e = md.frame_energies(s)
+        nf = 1 + (n - 256) // 128
+        assert len(e) == nf
+        naive = np.array(
+            [int((s[f * 128:f * 128 + 256].astype(np.int64) ** 2).sum())
+             for f in range(nf)],
+            dtype=np.int64,
+        )
+        np.testing.assert_array_equal(e, naive)
+
+
+def test_frame_energies_short_signal():
+    assert len(md.frame_energies(np.zeros(255, dtype=np.int16))) == 0
+    assert len(md.frame_energies(np.zeros(256, dtype=np.int16))) == 1
+
+
+def test_resize_features_batches_rejects_color():
+    """The q10 luma path demands grey pixels (exact-integer contract)."""
+    import pandas as pd
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[0, 0] = (1, 2, 3)  # not grey: channel sum 6 % 3 == 0 -> craft 7
+    img[0, 1] = (1, 2, 5)  # sum 8 % 3 != 0
+    blob = md.encode_bmp(img)
+    pdf = pd.DataFrame(
+        {"doc_id": ["d"], "kind": ["image"], "media_ref": ["m"],
+         "blob": [blob]}
+    )
+    with pytest.raises(md.MediaFormatError):
+        list(md.resize_features_batches(iter([pdf])))
