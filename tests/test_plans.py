@@ -150,3 +150,15 @@ def test_asof_join_single_window_no_join(spark):
     plan = _plan(q_asof_join(spark, SF))
     assert "Join" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_media_kernels_are_map_side_only(spark):
+    """The multimodal decode/resize/frame-sample chain is pure
+    mapInPandas over the span explode — NO Exchange, NO Join: at
+    100 TB the blob column streams through workers without a shuffle."""
+    from gpiv_spark.queries_misc import q_audio_frames, q_media_resize
+
+    for q in (q_media_resize, q_audio_frames):
+        plan = _plan(q(spark, SF), "simple")
+        assert "Exchange" not in plan, plan
+        assert "Join" not in plan, plan
