@@ -478,12 +478,14 @@ _MEDIA_CTE = """
                  CASE WHEN (i + j * 13) % 3 = 1 THEN 'image'
                       ELSE 'audio' END AS kind,
                  (i * 131 + j) % 9973 AS mnum
-          FROM s WHERE (i + j * 13) % 3 <> 0)
+          FROM s WHERE (i + j * 13) % 3 <> 0),
+    a AS (SELECT i, j, mnum, 800 + mnum % 1600 AS n
+          FROM m WHERE kind = 'audio'),
+    im AS (SELECT i, j, mnum, 8 + mnum % 24 AS w, 8 + (mnum // 7) % 24 AS h
+           FROM m WHERE kind = 'image')
 """
 
 _MEDIA_ORACLE = _MEDIA_CTE + """,
-    a AS (SELECT i, j, mnum, 800 + mnum % 1600 AS n
-          FROM m WHERE kind = 'audio'),
     audio_feat AS (
       SELECT a.i, a.j, 44 + 2 * a.n AS n_bytes,
              sqrt(CAST(sum(
@@ -493,8 +495,6 @@ _MEDIA_ORACLE = _MEDIA_CTE + """,
       FROM a JOIN range(2400) t ON CAST(t.range AS BIGINT) < a.n
       GROUP BY a.i, a.j, a.n
     ),
-    im AS (SELECT i, j, mnum, 8 + mnum % 24 AS w, 8 + (mnum // 7) % 24 AS h
-           FROM m WHERE kind = 'image'),
     image_feat AS (
       SELECT im.i, im.j,
              54 + im.h * ((3 * im.w + 3) // 4 * 4) AS n_bytes,
@@ -591,8 +591,6 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from the fixture formula v(r,c) = (mnum + r*7 + c*3) % 256.
 
 _RESIZE_ORACLE = _MEDIA_CTE + """,
-    im AS (SELECT i, j, mnum, 8 + mnum % 24 AS w, 8 + (mnum // 7) % 24 AS h
-           FROM m WHERE kind = 'image'),
     op AS (SELECT im.*, CAST(oi.range AS BIGINT) AS oi,
                   CAST(oj.range AS BIGINT) AS oj
            FROM im CROSS JOIN range(16) oi CROSS JOIN range(16) oj),
@@ -646,8 +644,6 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # s_t = ((mnum*31 + t*17) % 2001) - 1000 is bit-exact.
 
 _FRAMES_ORACLE = _MEDIA_CTE + """,
-    a AS (SELECT i, j, mnum, 800 + mnum % 1600 AS n
-          FROM m WHERE kind = 'audio'),
     fr AS (SELECT a.*, CAST(f.range AS BIGINT) AS frame
            FROM a JOIN range(17) f
              ON CAST(f.range AS BIGINT) < 1 + (a.n - 256) // 128),

@@ -169,10 +169,10 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
     align_corners=False convention (the one PIL/OpenCV/torch default
     to): output pixel centers map to ``(o + 0.5) * in / out - 0.5`` in
-    source coordinates, clamped to the source grid. The arithmetic is
-    written in exactly the order the SQL oracle replays it
-    (left-to-right affine ops on doubles), so per-pixel values are
-    bit-comparable before the final rounding.
+    source coordinates, clamped to the source grid. General float API;
+    the ORACLE-checked path is ``resize_q10`` below (exact int64 —
+    equal to this x1024, property-tested), which is what the gate
+    replays.
     """
     h, w = img.shape
     y = np.clip((np.arange(out_h, dtype=np.float64) + 0.5) * h / out_h - 0.5,
@@ -295,33 +295,32 @@ def frame_features_batches(batches, frame_len: int = 256, hop: int = 128):
     per-clip frame-sampling stats, all exact int64.
 
     peak_frame is the FIRST index attaining the max energy (ties break
-    low, matching the SQL oracle's min(frame) over maxima).
+    low, matching the SQL oracle's min(frame) over maxima). Clips
+    shorter than one frame are DROPPED (no row) — the same semantics
+    as the oracle's frame join, so kernel and replay agree for any
+    clip length, not just the fixture's n >= 800.
     """
     import pandas as pd
 
     for pdf in batches:
-        n = len(pdf)
-        n_frames = np.empty(n, dtype=np.int64)
-        total_energy = np.empty(n, dtype=np.int64)
-        peak_frame = np.empty(n, dtype=np.int64)
-        peak_energy = np.empty(n, dtype=np.int64)
-        for i, blob in enumerate(pdf["blob"].to_numpy()):
+        rows = []
+        for doc_id, media_ref, blob in zip(
+            pdf["doc_id"], pdf["media_ref"], pdf["blob"].to_numpy()
+        ):
             e = frame_energies(decode_wav(bytes(blob))["samples"],
                                frame_len, hop)
-            n_frames[i] = len(e)
-            total_energy[i] = int(e.sum())
-            peak_frame[i] = int(e.argmax()) if len(e) else -1
-            peak_energy[i] = int(e.max()) if len(e) else 0
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "media_ref": pdf["media_ref"],
-                "n_frames": n_frames,
-                "total_energy": total_energy,
-                "peak_frame": peak_frame,
-                "peak_energy": peak_energy,
-            }
+            if not len(e):
+                continue
+            rows.append((doc_id, media_ref, len(e), int(e.sum()),
+                         int(e.argmax()), int(e.max())))
+        out = pd.DataFrame(
+            rows,
+            columns=["doc_id", "media_ref", "n_frames", "total_energy",
+                     "peak_frame", "peak_energy"],
         )
+        if not len(out):  # keep int64 dtypes on an all-dropped batch
+            out = out.astype({c: "int64" for c in out.columns[2:]})
+        yield out
 
 
 def decode_features_batches(batches):
