@@ -704,8 +704,12 @@ def main() -> None:
         f"| 32 | {big_docs:,} | {b32:.1f} | {s32:.1f} | {d32:,.0f} |\n\n"
         f"**Scaling efficiency N->4N (2->8 cores)**: docs/sec throughput "
         f"(stream phase) **{eff_stream:.3f}**; total job incl. TIN build "
-        f"**{eff_n4n:.3f}** (target >= 0.8). 8->32 at 2x input: stream "
-        f"{eff_8_32_stream:.3f}, total {eff_8_32:.3f}.\n\n"
+        f"**{eff_n4n:.3f}** (target >= 0.8). 8->32 at 4x docs / 2x "
+        f"points: stream {eff_8_32_stream:.3f}, total {eff_8_32:.3f} "
+        f"(stream/control {eff_8_32_stream / ctl_8_32['efficiency']:.3f}; "
+        f"the total carries the TIN build's fixed ~4-5 s "
+        f"parallelism-independent Spark floor, profiled in "
+        f"BASELINE.md).\n\n"
         f"Hardware controls (pure numpy multiprocessing, no Spark, same "
         f"high-core pinning and fixed task count): 2->8 efficiency "
         f"{ctl['efficiency']:.3f}, 8->32 efficiency "
