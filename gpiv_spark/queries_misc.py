@@ -686,6 +686,83 @@ def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- video_frames: AVI frame-sampling (stride keyframes), exact int64 ------
+# decode uncompressed AVI (RIFF walk + DIB frames, sources/media.py) ->
+# keep every 2nd frame -> exact int64 luma sum per sampled frame. One
+# clip per document (the spans fixture carries image/audio spans only;
+# a real deployment reads the video binary column off the table).
+# Registered pytest-tier: the 50-slot driver gate is full; verified by
+# tools/check_oracles.py + tests/test_retired_oracles.py.
+
+_VIDEO_ORACLE = _MEDIA_CTE + """,
+    vm AS (SELECT i, (i * 167) % 9973 AS mnum FROM d),
+    dims AS (SELECT i, mnum, 8 + mnum % 16 AS w,
+                    8 + (mnum // 5) % 16 AS h, 4 + mnum % 13 AS nf
+             FROM vm),
+    fr AS (SELECT dims.*, CAST(f.range AS BIGINT) AS frame_idx
+           FROM dims JOIN range(17) f
+             ON CAST(f.range AS BIGINT) < nf
+            AND CAST(f.range AS BIGINT) % 2 = 0),
+    lum AS (SELECT i, mnum, nf, w, h, frame_idx,
+              CAST(sum((mnum + frame_idx * 11
+                        + CAST(r.range AS BIGINT) * 7
+                        + CAST(c.range AS BIGINT) * 3) % 256) AS BIGINT)
+                AS luma_sum
+            FROM fr
+            JOIN range(24) r ON CAST(r.range AS BIGINT) < h
+            JOIN range(24) c ON CAST(c.range AS BIGINT) < w
+            GROUP BY i, mnum, nf, w, h, frame_idx)
+    SELECT 'doc-' || lpad(CAST(i AS VARCHAR), 8, '0') AS doc_id,
+           'video://bucket/' || CAST(i % 97 AS VARCHAR) || '/'
+             || CAST(mnum AS VARCHAR) || '.bin' AS media_ref,
+           nf AS n_frames, w AS width, h AS height, frame_idx, luma_sum
+    FROM lum
+"""
+
+
+@register("video_frames", _VIDEO_ORACLE, gate=False)
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-2 keyframe sampling over per-doc AVI clips, exact int64."""
+    import numpy as np
+    import pandas as pd
+
+    from gpiv_spark.sources import media as md
+
+    n_docs = max(200, spark.read.parquet(f"{sf_dir}/documents.parquet").count() // 2)
+    refs = spark.range(min(n_docs, 1000)).select(
+        F.format_string("doc-%08d", F.col("id")).alias("doc_id"),
+        F.format_string(
+            "video://bucket/%d/%d.bin",
+            F.col("id") % 97, (F.col("id") * 167) % 9973,
+        ).alias("media_ref"),
+    )
+
+    def fetch_blob(batches):
+        for pdf in batches:
+            mnum = (
+                pdf["media_ref"].astype(str)
+                .str.extract(r"/(\d+)\.bin$")[0]
+                .fillna("0").astype(np.int64)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "blob": [md.synth_media_blob("video", int(m))
+                             for m in mnum],
+                }
+            )
+
+    blobs = refs.mapInPandas(
+        fetch_blob, "doc_id string, media_ref string, blob binary"
+    )
+    return blobs.mapInPandas(
+        md.video_features_batches,
+        "doc_id string, media_ref string, n_frames long, width long, "
+        "height long, frame_idx long, luma_sum long",
+    )
+
+
 # --- ann_ivf_topk: IVF-style ANN (coarse quantize -> search in-list) --------
 # 8 deterministic anchor "centroids" c_a[i] = ((a*53 + i*19) % 211)/211 - 0.5;
 # every vector is assigned to its nearest anchor (the IVF list), queries

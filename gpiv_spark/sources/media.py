@@ -135,6 +135,139 @@ def decode_bmp(blob: bytes) -> dict:
 
 
 # --------------------------------------------------------------------------
+# AVI (RIFF, uncompressed 24-bit DIB frames) — the codec-free video
+# container: same RIFF chunk walk as WAV, same DIB pixel rows as BMP.
+# --------------------------------------------------------------------------
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """uint8 (n, h, w, 3) RGB frames -> uncompressed ('DIB ') AVI.
+
+    Canonical single-stream layout: RIFF('AVI ') { LIST('hdrl'){avih,
+    LIST('strl'){strh,strf}}, LIST('movi'){'00db' per frame} }. Frames
+    are stored exactly like BMP pixel data (BGR, bottom-up, 4-byte row
+    padding).
+    """
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = frames.shape
+    row_bytes = (3 * w + 3) & ~3
+    frame_bytes = row_bytes * h
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    avih = struct.pack(
+        "<10I", 1_000_000 // fps, frame_bytes * fps, 0, 0x10, n, 0, 1,
+        frame_bytes, w, h) + b"\x00" * 16
+    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                            1, fps, 0, n, frame_bytes,
+                                            0, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes,
+                       2835, 2835, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    rows = np.zeros((n, h, row_bytes), dtype=np.uint8)
+    rows[:, :, : 3 * w] = frames[:, ::-1, :, ::-1].reshape(n, h, 3 * w)
+    movi = lst(b"movi", b"".join(chunk(b"00db", f.tobytes()) for f in rows))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(blob: bytes) -> dict:
+    """Parse an uncompressed 24-bit AVI -> frames (n, h, w, 3) RGB.
+
+    Walks the RIFF tree tolerantly (skips unknown chunks), validates
+    the avih dimensions against each '00db' frame's byte count.
+    """
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise MediaFormatError("not an AVI blob")
+
+    w = h = n_frames = None
+    usec_pf = 0
+    frames = []
+
+    def walk(off: int, end: int) -> None:
+        nonlocal w, h, n_frames, usec_pf
+        while off + 8 <= end:
+            fourcc = blob[off:off + 4]
+            (sz,) = struct.unpack_from("<I", blob, off + 4)
+            body_off = off + 8
+            if fourcc == b"LIST":
+                walk(body_off + 4, body_off + sz)
+            elif fourcc == b"avih":
+                vals = struct.unpack_from("<10I", blob, body_off)
+                usec_pf, n_frames, w, h = vals[0], vals[4], vals[8], vals[9]
+            elif fourcc == b"00db":
+                frames.append(blob[body_off:body_off + sz])
+            off = body_off + sz + (sz & 1)
+
+    walk(12, len(blob))
+    if w is None or not frames:
+        raise MediaFormatError("AVI missing avih header or frames")
+    row_bytes = (3 * w + 3) & ~3
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for i, f in enumerate(frames):
+        if len(f) != row_bytes * h:
+            raise MediaFormatError(
+                f"frame {i}: {len(f)} bytes != {row_bytes * h} expected"
+            )
+        rows = np.frombuffer(f, dtype=np.uint8).reshape(h, row_bytes)
+        out[i] = rows[:, : 3 * w].reshape(h, w, 3)[::-1, :, ::-1]
+    if n_frames not in (None, len(frames)):
+        raise MediaFormatError(
+            f"avih declares {n_frames} frames, movi holds {len(frames)}"
+        )
+    return {
+        "n_frames": len(frames),
+        "width": int(w),
+        "height": int(h),
+        "fps": (1_000_000 // usec_pf) if usec_pf else 0,
+        "frames": out,
+    }
+
+
+def video_features_batches(batches, stride: int = 2):
+    """mapInPandas kernel: (doc_id, media_ref, blob) video rows ->
+    frame-sampled exact-int64 features.
+
+    Decodes the REAL AVI bytes and keeps every ``stride``-th frame
+    (the keyframe-sampling step of a video training pipeline); emits
+    one row per SAMPLED frame with the container dims and the frame's
+    exact luma sum (int64 sum over h*w of the channel-mean pixel).
+    Map-side only, like the other media kernels.
+    """
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, media_ref, blob in zip(
+            pdf["doc_id"], pdf["media_ref"], pdf["blob"].to_numpy()
+        ):
+            v = decode_avi(bytes(blob))
+            f = v["frames"].astype(np.int64)
+            s = f.sum(axis=3)
+            if (s % 3).any():
+                raise MediaFormatError("non-grey video in luma path")
+            luma = s // 3
+            for k in range(0, v["n_frames"], stride):
+                rows.append((doc_id, media_ref, v["n_frames"],
+                             v["width"], v["height"], k,
+                             int(luma[k].sum())))
+        out = pd.DataFrame(
+            rows,
+            columns=["doc_id", "media_ref", "n_frames", "width",
+                     "height", "frame_idx", "luma_sum"],
+        )
+        if not len(out):
+            out = out.astype({c: "int64" for c in out.columns[2:]})
+        yield out
+
+
+# --------------------------------------------------------------------------
 # Deterministic fixture blobs (the "Iceberg binary column" stand-in)
 # --------------------------------------------------------------------------
 
@@ -148,6 +281,9 @@ def synth_media_blob(kind: str, mnum: int) -> bytes:
     audio: n = 800 + mnum % 1600 samples, s_t = ((mnum*31 + t*17) % 2001) - 1000
     image: w = 8 + mnum % 24, h = 8 + (mnum // 7) % 24,
            grey pixel v(r,c) = (mnum + r*7 + c*3) % 256
+    video: w = 8 + mnum % 16, h = 8 + (mnum // 5) % 16,
+           n_frames = 4 + mnum % 13,
+           grey pixel v(f,r,c) = (mnum + f*11 + r*7 + c*3) % 256
     """
     if kind == "audio":
         n = 800 + mnum % 1600
@@ -161,6 +297,15 @@ def synth_media_blob(kind: str, mnum: int) -> bytes:
         c = np.arange(w, dtype=np.int64)[None, :]
         v = ((mnum + r * 7 + c * 3) % 256).astype(np.uint8)
         return encode_bmp(np.repeat(v[:, :, None], 3, axis=2))
+    if kind == "video":
+        w = 8 + mnum % 16
+        h = 8 + (mnum // 5) % 16
+        nf = 4 + mnum % 13
+        f = np.arange(nf, dtype=np.int64)[:, None, None]
+        r = np.arange(h, dtype=np.int64)[None, :, None]
+        c = np.arange(w, dtype=np.int64)[None, None, :]
+        v = ((mnum + f * 11 + r * 7 + c * 3) % 256).astype(np.uint8)
+        return encode_avi(np.repeat(v[:, :, :, None], 3, axis=3))
     raise ValueError(f"unknown media kind {kind!r}")
 
 

@@ -151,3 +151,48 @@ def test_resize_features_batches_rejects_color():
     )
     with pytest.raises(md.MediaFormatError):
         list(md.resize_features_batches(iter([pdf])))
+
+
+def test_avi_roundtrip_exact():
+    rng = np.random.default_rng(21)
+    fr = rng.integers(0, 256, (7, 13, 9, 3)).astype(np.uint8)
+    out = md.decode_avi(md.encode_avi(fr, fps=12))
+    assert (out["n_frames"], out["height"], out["width"], out["fps"]) == (7, 13, 9, 12)
+    np.testing.assert_array_equal(out["frames"], fr)
+
+
+def test_avi_malformed_raises():
+    with pytest.raises(md.MediaFormatError):
+        md.decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(md.MediaFormatError):
+        md.decode_avi(b"nope")
+    # truncated frame payload: declared dims no longer match bytes
+    good = md.encode_avi(np.zeros((2, 8, 8, 3), dtype=np.uint8))
+    with pytest.raises(md.MediaFormatError):
+        md.decode_avi(good[:-10])
+
+
+def test_video_fixture_matches_formula():
+    mnum = 321
+    v = md.decode_avi(md.synth_media_blob("video", mnum))
+    w, h, nf = 8 + mnum % 16, 8 + (mnum // 5) % 16, 4 + mnum % 13
+    assert (v["width"], v["height"], v["n_frames"]) == (w, h, nf)
+    f = np.arange(nf)[:, None, None]
+    r = np.arange(h)[None, :, None]
+    c = np.arange(w)[None, None, :]
+    np.testing.assert_array_equal(
+        v["frames"][..., 1], ((mnum + f * 11 + r * 7 + c * 3) % 256).astype(np.uint8)
+    )
+
+
+def test_video_features_stride_sampling():
+    import pandas as pd
+
+    blob = md.synth_media_blob("video", 10)  # nf = 4 + 10 % 13 = 14
+    pdf = pd.DataFrame({"doc_id": ["d"], "media_ref": ["m"], "blob": [blob]})
+    out = pd.concat(md.video_features_batches(iter([pdf])))
+    assert list(out["frame_idx"]) == [0, 2, 4, 6, 8, 10, 12]
+    v = md.decode_avi(blob)
+    luma = v["frames"].astype(np.int64).sum(axis=3) // 3
+    for _, row in out.iterrows():
+        assert row["luma_sum"] == int(luma[row["frame_idx"]].sum())
