@@ -595,10 +595,10 @@ def main() -> None:
     level_args = {
         "cores2": (2, N_DOCS, N_POINTS, 3),
         "cores8": (8, N_DOCS, N_POINTS, 3),
-        # 8 -> 32 evidence pair: same 2x input (docs AND points) at
+        # 8 -> 32 evidence pair: same 4x-docs / 2x-points input at
         # both levels, so the 32-core point measures compute, not the
-        # fixed per-job floor (VERDICT r1 #3). The cheap 32-core
-        # streams take extra in-child samples.
+        # fixed per-job floor (rationale above; VERDICT r1 #3). The
+        # cheap 32-core streams take extra in-child samples.
         "cores8_4xd": (8, big_docs, big_points, 3),
         "cores32_4xd": (32, big_docs, big_points, 5),
     }

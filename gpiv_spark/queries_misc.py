@@ -517,22 +517,51 @@ _MEDIA_ORACLE = _MEDIA_CTE + """,
 """
 
 
-def _media_blob_df(spark: SparkSession, sf_dir: str,
-                   kind: str | None = None) -> DataFrame:
-    """documents -> exploded media spans -> REAL container bytes.
+def _media_n_docs(spark: SparkSession, sf_dir: str) -> int:
+    """The one sizing formula every media query AND _MEDIA_CTE's nn CTE
+    share: least(greatest(200, count // 2), 1000)."""
+    cnt = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    return min(max(200, cnt // 2), 1000)
 
-    The Iceberg-binary-column stand-in: synthesizes deterministic
-    fixture bytes per media_ref (sources/media.py); a real deployment
-    selects the blob column off the table here. Map-side only.
-    """
+
+def _blob_fetcher(fixed_kind: str | None = None):
+    """mapInPandas kernel factory: synthesize the container bytes for
+    each media_ref (deterministic fixture, sources/media.py — the
+    Iceberg-binary-column stand-in; a real deployment selects the blob
+    column off the table here). ``fixed_kind`` skips the per-row kind
+    column for single-kind streams."""
     import numpy as np
     import pandas as pd
 
-    from gpiv_spark import fixtures
     from gpiv_spark.sources import media as md
 
-    n_docs = max(200, spark.read.parquet(f"{sf_dir}/documents.parquet").count() // 2)
-    docs = fixtures.spans_documents(spark, n_docs=min(n_docs, 1000))
+    def fetch(batches):
+        for pdf in batches:
+            mnum = (
+                pdf["media_ref"].astype(str)
+                .str.extract(r"/(\d+)\.bin$")[0]
+                .fillna("0").astype(np.int64)
+            )
+            kinds = ([fixed_kind] * len(pdf) if fixed_kind
+                     else list(pdf["kind"]))
+            cols = {"doc_id": pdf["doc_id"]}
+            if fixed_kind is None:
+                cols["kind"] = pdf["kind"]
+            cols["media_ref"] = pdf["media_ref"]
+            cols["blob"] = [md.synth_media_blob(k, int(m))
+                            for k, m in zip(kinds, mnum)]
+            yield pd.DataFrame(cols)
+
+    return fetch
+
+
+def _media_blob_df(spark: SparkSession, sf_dir: str,
+                   kind: str | None = None) -> DataFrame:
+    """documents -> exploded media spans -> REAL container bytes."""
+    from gpiv_spark import fixtures
+
+    docs = fixtures.spans_documents(spark,
+                                    n_docs=_media_n_docs(spark, sf_dir))
     media = (
         docs.select("doc_id", F.explode("spans").alias("s"))
         .filter(F.col("s.kind") != "text")
@@ -540,28 +569,8 @@ def _media_blob_df(spark: SparkSession, sf_dir: str,
     )
     if kind is not None:
         media = media.filter(F.col("kind") == kind)
-
-    def fetch_blob(batches):
-        for pdf in batches:
-            mnum = (
-                pdf["media_ref"].astype(str)
-                .str.extract(r"/(\d+)\.bin$")[0]
-                .fillna("0").astype(np.int64)
-            )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "kind": pdf["kind"],
-                    "media_ref": pdf["media_ref"],
-                    "blob": [
-                        md.synth_media_blob(k, int(m))
-                        for k, m in zip(pdf["kind"], mnum)
-                    ],
-                }
-            )
-
     return media.mapInPandas(
-        fetch_blob,
+        _blob_fetcher(),
         "doc_id string, kind string, media_ref string, blob binary",
     )
 
@@ -723,38 +732,18 @@ _VIDEO_ORACLE = _MEDIA_CTE + """,
 @register("video_frames", _VIDEO_ORACLE, gate=False)
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stride-2 keyframe sampling over per-doc AVI clips, exact int64."""
-    import numpy as np
-    import pandas as pd
-
     from gpiv_spark.sources import media as md
 
-    n_docs = max(200, spark.read.parquet(f"{sf_dir}/documents.parquet").count() // 2)
-    refs = spark.range(min(n_docs, 1000)).select(
+    refs = spark.range(_media_n_docs(spark, sf_dir)).select(
         F.format_string("doc-%08d", F.col("id")).alias("doc_id"),
         F.format_string(
             "video://bucket/%d/%d.bin",
             F.col("id") % 97, (F.col("id") * 167) % 9973,
         ).alias("media_ref"),
     )
-
-    def fetch_blob(batches):
-        for pdf in batches:
-            mnum = (
-                pdf["media_ref"].astype(str)
-                .str.extract(r"/(\d+)\.bin$")[0]
-                .fillna("0").astype(np.int64)
-            )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_ref": pdf["media_ref"],
-                    "blob": [md.synth_media_blob("video", int(m))
-                             for m in mnum],
-                }
-            )
-
     blobs = refs.mapInPandas(
-        fetch_blob, "doc_id string, media_ref string, blob binary"
+        _blob_fetcher("video"),
+        "doc_id string, media_ref string, blob binary",
     )
     return blobs.mapInPandas(
         md.video_features_batches,

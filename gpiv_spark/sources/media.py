@@ -192,13 +192,19 @@ def decode_avi(blob: bytes) -> dict:
 
     def walk(off: int, end: int) -> None:
         nonlocal w, h, n_frames, usec_pf
+        # clamp to the REAL buffer: a truncated blob whose LIST sizes
+        # point past the end must fail as MediaFormatError (below, via
+        # missing frames/dims), never escape as struct.error
+        end = min(end, len(blob))
         while off + 8 <= end:
             fourcc = blob[off:off + 4]
             (sz,) = struct.unpack_from("<I", blob, off + 4)
             body_off = off + 8
             if fourcc == b"LIST":
-                walk(body_off + 4, body_off + sz)
+                walk(body_off + 4, min(body_off + sz, end))
             elif fourcc == b"avih":
+                if body_off + 40 > end:
+                    raise MediaFormatError("truncated avih header")
                 vals = struct.unpack_from("<10I", blob, body_off)
                 usec_pf, n_frames, w, h = vals[0], vals[4], vals[8], vals[9]
             elif fourcc == b"00db":

@@ -170,6 +170,11 @@ def test_avi_malformed_raises():
     good = md.encode_avi(np.zeros((2, 8, 8, 3), dtype=np.uint8))
     with pytest.raises(md.MediaFormatError):
         md.decode_avi(good[:-10])
+    # truncation straddling a chunk header must ALSO be the documented
+    # error, not struct.error (the walk clamps to the real buffer)
+    for cut in (195, len(good) - 13, len(good) - 60):
+        with pytest.raises(md.MediaFormatError):
+            md.decode_avi(good[:-cut] if cut < len(good) else good[:12])
 
 
 def test_video_fixture_matches_formula():
