@@ -695,6 +695,59 @@ def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- manifest_mor: equality-delete merge-on-read lifecycle ------------------
+# The dedup endgame's table-maintenance step: append documents, commit
+# the canonicalizer's losers as an EQUALITY DELETE file (no data
+# rewrite), re-append some deleted keys, read back merge-on-read. The
+# oracle states the expected live set in closed form; a wrong
+# sequence-number rule (deletes hitting newer files, or not hitting
+# older ones) breaks the hash. Registered pytest-tier (gate full);
+# verified by tools/check_oracles.py + tests/test_retired_oracles.py.
+
+_MOR_ORACLE = """
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE (doc_id < 300 AND doc_id % 7 <> 0)
+       OR (doc_id >= 300 AND doc_id < 400)
+       OR (doc_id < 50 AND doc_id % 7 = 0)
+"""
+
+
+@register("manifest_mor", _MOR_ORACLE, gate=False)
+def q_manifest_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from gpiv_spark.sources.manifest import (
+        append_equality_deletes,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    table_dir = tempfile.mkdtemp(prefix="gate_mor_")
+    atexit.register(shutil.rmtree, table_dir, ignore_errors=True)
+    # seq 1: the first 300 docs
+    write_snapshot(docs.filter("doc_id < 300"), table_dir,
+                   stats_cols=["doc_id"])
+    # seq 2: delete every 7th doc (no data rewrite)
+    append_equality_deletes(
+        docs.filter("doc_id < 300 AND doc_id % 7 = 0").select("doc_id"),
+        table_dir, ["doc_id"],
+    )
+    # seq 3: append fresh docs AND re-insert some deleted keys — the
+    # sequence rule must resurrect exactly these
+    write_snapshot(
+        docs.filter("(doc_id >= 300 AND doc_id < 400) "
+                    "OR (doc_id < 50 AND doc_id % 7 = 0)"),
+        table_dir, stats_cols=["doc_id"],
+    )
+    return read_snapshot(spark, table_dir)
+
+
 # --- video_frames: AVI frame-sampling (stride keyframes), exact int64 ------
 # decode uncompressed AVI (RIFF walk + DIB frames, sources/media.py) ->
 # keep every 2nd frame -> exact int64 luma sum per sampled frame. One

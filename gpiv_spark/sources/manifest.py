@@ -20,6 +20,12 @@ snapshot isolation — in pure PySpark + pyarrow:
   whole directory — Spark's own parquet row-group pruning then applies
   WITHIN each surviving file via the residual filter.
 
+- EQUALITY DELETE files (format v2 merge-on-read): a delete snapshot
+  commits the key tuples to drop without rewriting data; readers
+  anti-join each data file group against the deletes with a HIGHER
+  sequence number (so re-appended keys reappear), and ``compact``
+  folds deletes into a clean copy-on-write rewrite.
+
 Layout and pruning semantics follow the public Iceberg spec's
 manifest-entry design (format v2, metadata-value counts elided); the
 implementation shares no code with any Iceberg runtime.
@@ -90,16 +96,27 @@ def _snapshot_ids(table_dir: str | os.PathLike) -> list[int]:
 
 def write_snapshot(df: DataFrame, table_dir: str | os.PathLike,
                    stats_cols: list[str], mode: str = "append",
-                   expected_parent: int | None = None) -> int:
+                   expected_parent: int | None = None, *,
+                   equality_delete_cols: list[str] | None = None) -> int:
     """Commit ``df`` as a new snapshot; returns its id.
 
     mode="append" keeps the parent snapshot's files live; "overwrite"
-    starts the file list fresh. ``expected_parent`` pins the snapshot
-    the write was DERIVED from: if any other writer commits first, the
-    commit raises ConcurrentOverwrite instead of silently dropping the
-    concurrent snapshot's rows from the new latest (the lost-update
-    hazard of a blind overwrite). Appends don't need it — an append
-    retried onto a newer parent keeps every concurrent file live.
+    starts the file list fresh (and clears delete files — an overwrite
+    replaces the table's contents wholesale). ``expected_parent`` pins
+    the snapshot the write was DERIVED from: if any other writer
+    commits first, the commit raises ConcurrentOverwrite instead of
+    silently dropping the concurrent snapshot's rows from the new
+    latest (the lost-update hazard of a blind overwrite). Appends
+    don't need it — an append retried onto a newer parent keeps every
+    concurrent file live.
+
+    ``equality_delete_cols`` commits ``df`` as an EQUALITY DELETE file
+    set instead of data (Iceberg v2 merge-on-read): ``df`` holds the
+    key tuples to delete, the parent's data files stay untouched, and
+    readers drop matching rows from every data file with a LOWER
+    sequence number than the delete (so a key re-appended after the
+    delete is visible again — the spec's sequence-number rule). Every
+    manifest entry carries ``seq`` = the snapshot id that added it.
 
     Concurrency: data files land in a UNIQUE directory (no dependence
     on the snapshot id), and the commit point is an exclusive
@@ -113,13 +130,18 @@ def write_snapshot(df: DataFrame, table_dir: str | os.PathLike,
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
+    if equality_delete_cols is not None and mode != "append":
+        raise ValueError("delete commits are appends by construction")
     table_dir = Path(table_dir)
     (table_dir / "data").mkdir(parents=True, exist_ok=True)
     data_dir = Path(tempfile.mkdtemp(dir=table_dir / "data", prefix="snap-"))
     data_dir.rmdir()  # Spark wants to create the leaf dir itself
+    if equality_delete_cols is not None:
+        df = df.select(*equality_delete_cols).distinct()
     df.write.mode("errorifexists").parquet(str(data_dir))
     new_files = [
-        _file_stats(str(p), stats_cols)
+        _file_stats(str(p), [] if equality_delete_cols is not None
+                    else stats_cols)
         for p in sorted(data_dir.glob("*.parquet"))
     ]
 
@@ -134,15 +156,32 @@ def write_snapshot(df: DataFrame, table_dir: str | os.PathLike,
                 f"derived from snapshot {expected_parent} but latest is "
                 f"now {parent}; re-plan against the new snapshot"
             )
-        files = new_files
-        if mode == "append" and parent is not None:
-            files = _load_manifest(table_dir, parent)["files"] + new_files
+        for f in new_files:  # inside the loop: a lost race changes id
+            f["seq"] = new_id
+        parent_man = (
+            _load_manifest(table_dir, parent) if parent is not None else None
+        )
+        if equality_delete_cols is not None:
+            files = parent_man["files"] if parent_man else []
+            deletes = (parent_man.get("delete_files", [])
+                       if parent_man else [])
+            deletes = deletes + [
+                dict(f, eq_cols=list(equality_delete_cols))
+                for f in new_files
+            ]
+        elif mode == "append" and parent_man is not None:
+            files = parent_man["files"] + new_files
+            deletes = parent_man.get("delete_files", [])
+        else:  # first commit or overwrite: fresh lists, deletes folded
+            files = new_files
+            deletes = []
         manifest = {
             "snapshot_id": new_id,
             "parent": parent,
             "mode": mode,
             "stats_cols": stats_cols,
             "files": files,
+            "delete_files": deletes,
         }
         fd, tmp = tempfile.mkstemp(dir=str(sdir), suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
@@ -154,6 +193,26 @@ def write_snapshot(df: DataFrame, table_dir: str | os.PathLike,
             continue  # lost the race: re-read parent chain and retry
         finally:
             os.unlink(tmp)
+
+
+def append_equality_deletes(keys_df: DataFrame,
+                            table_dir: str | os.PathLike,
+                            eq_cols: list[str]) -> int:
+    """Commit an equality-delete snapshot: every row of the table whose
+    ``eq_cols`` tuple appears in ``keys_df`` is dead for readers of
+    this snapshot onward — WITHOUT rewriting any data file (the
+    merge-on-read half of the dedup endgame: the canonicalizer's
+    losing doc_ids become one small delete file). Keys re-appended by
+    a LATER snapshot are visible again (sequence rule). Returns the
+    new snapshot id; same OCC commit path as data writes."""
+    ids = _snapshot_ids(table_dir)
+    if not ids:
+        raise FileNotFoundError(f"no snapshots under {table_dir}")
+    man = _load_manifest(table_dir, ids[-1])
+    return write_snapshot(
+        keys_df, table_dir, stats_cols=man["stats_cols"],
+        equality_delete_cols=eq_cols,
+    )
 
 
 def _load_manifest(table_dir: str | os.PathLike, snapshot: int) -> dict:
@@ -191,6 +250,8 @@ def plan_scan(table_dir: str | os.PathLike, snapshot: int | None = None,
     return {
         "snapshot_id": snap,
         "files": [f["path"] for f in keep],
+        "file_seqs": [f.get("seq", 0) for f in keep],
+        "delete_files": man.get("delete_files", []),
         "rows_upper_bound": sum(f["rows"] for f in keep),
         "files_skipped": skipped,
         "files_total": len(man["files"]),
@@ -200,8 +261,16 @@ def plan_scan(table_dir: str | os.PathLike, snapshot: int | None = None,
 def read_snapshot(spark: SparkSession, table_dir: str | os.PathLike,
                   snapshot: int | None = None,
                   ranges: dict[str, tuple] | None = None) -> DataFrame:
-    """DataFrame over the pruned file set, residual range filter
-    applied (file skipping is an optimization, not the predicate)."""
+    """DataFrame over the pruned file set, residual range filter and
+    equality deletes applied (merge-on-read).
+
+    Delete application follows the Iceberg v2 sequence rule: a delete
+    file drops matching rows from data files with a LOWER seq only, so
+    data files are grouped by seq and each group is anti-joined
+    against the union of the deletes newer than it. Delete key sets
+    are broadcast — they are metadata-scale next to the data (a
+    deployment that accretes delete files beyond broadcast size runs
+    ``compact`` to fold them in)."""
     plan = plan_scan(table_dir, snapshot, ranges)
     if not plan["files"]:
         any_file = _load_manifest(
@@ -211,13 +280,36 @@ def read_snapshot(spark: SparkSession, table_dir: str | os.PathLike,
             raise FileNotFoundError("snapshot has no data files")
         schema = spark.read.parquet(any_file[0]["path"]).schema
         return spark.createDataFrame([], schema)
-    df = spark.read.parquet(*plan["files"])
-    for col, (lo, hi) in (ranges or {}).items():
-        if lo is not None:
-            df = df.filter(F.col(col) >= lo)
-        if hi is not None:
-            df = df.filter(F.col(col) <= hi)
-    return df
+
+    def residual(df: DataFrame) -> DataFrame:
+        for col, (lo, hi) in (ranges or {}).items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= lo)
+            if hi is not None:
+                df = df.filter(F.col(col) <= hi)
+        return df
+
+    deletes = plan["delete_files"]
+    if not deletes:
+        return residual(spark.read.parquet(*plan["files"]))
+
+    out = None
+    for seq in sorted(set(plan["file_seqs"])):
+        group = [p for p, s in zip(plan["files"], plan["file_seqs"])
+                 if s == seq]
+        gdf = residual(spark.read.parquet(*group))
+        applicable = [d for d in deletes if d["seq"] > seq]
+        # one anti-join per distinct key-column set among the
+        # applicable deletes (usually exactly one)
+        for cols in {tuple(d["eq_cols"]) for d in applicable}:
+            keys = spark.read.parquet(
+                *[d["path"] for d in applicable
+                  if tuple(d["eq_cols"]) == cols]
+            ).distinct()
+            gdf = gdf.join(F.broadcast(keys), on=list(cols),
+                           how="left_anti")
+        out = gdf if out is None else out.unionByName(gdf)
+    return out
 
 
 def compact(spark: SparkSession, table_dir: str | os.PathLike,
@@ -232,7 +324,10 @@ def compact(spark: SparkSession, table_dir: str | os.PathLike,
     if not ids:
         raise FileNotFoundError(f"no snapshots under {table_dir}")
     man = _load_manifest(table_dir, ids[-1])
-    df = spark.read.parquet(*[f["path"] for f in man["files"]])
+    # merge-on-read view: compaction FOLDS equality deletes into the
+    # rewrite (the MoR -> copy-on-write flip), so the new snapshot
+    # carries identical LIVE rows and an empty delete list
+    df = read_snapshot(spark, table_dir, snapshot=ids[-1])
     # pin the source snapshot: an append committed between this read
     # and the commit must fail the rewrite (ConcurrentOverwrite), not
     # vanish from the new latest

@@ -164,7 +164,12 @@ def test_streaming_sink_commits_a_snapshot_per_batch(spark, table_dir):
     src = Path(tf.mkdtemp(prefix="sink_src_"))
     ckpt = Path(tf.mkdtemp(prefix="sink_ckpt_"))
     try:
-        _docs(spark, 0, 2_000).write.mode("overwrite").parquet(str(src))
+        # one FILE per source write: the file-stream's directory listing
+        # can catch a multi-file write half-landed and split it across
+        # two micro-batches, which would nondeterministically add a
+        # third snapshot (observed once) — a single file is atomic
+        _docs(spark, 0, 2_000).coalesce(1).write.mode(
+            "overwrite").parquet(str(src))
         stream = spark.readStream.schema(
             "doc_id long, cell long, score long"
         ).parquet(str(src))
@@ -175,7 +180,8 @@ def test_streaming_sink_commits_a_snapshot_per_batch(spark, table_dir):
             .start()
         )
         q.processAllAvailable()
-        _docs(spark, 2_000, 3_000).write.mode("append").parquet(str(src))
+        _docs(spark, 2_000, 3_000).coalesce(1).write.mode(
+            "append").parquet(str(src))
         q.processAllAvailable()
         q.stop()
     finally:
@@ -223,3 +229,62 @@ def test_non_numeric_stats_column_rejected(spark, table_dir):
     )
     with pytest.raises(ValueError, match="physical type"):
         write_snapshot(df, table_dir, stats_cols=["text"])
+
+
+def test_equality_deletes_merge_on_read(spark, table_dir):
+    from gpiv_spark.sources.manifest import append_equality_deletes
+
+    write_snapshot(_docs(spark, 0, 1000), table_dir, stats_cols=["cell"])
+    keys = spark.range(0, 1000).filter("id % 7 = 0").select(
+        F.col("id").alias("doc_id")
+    )
+    snap2 = append_equality_deletes(keys, table_dir, ["doc_id"])
+    live = read_snapshot(spark, table_dir)
+    ids = {r.doc_id for r in live.collect()}
+    assert ids == {i for i in range(1000) if i % 7 != 0}
+    # time travel: the pre-delete snapshot still shows everything
+    before = read_snapshot(spark, table_dir, snapshot=snap2 - 1)
+    assert before.count() == 1000
+
+
+def test_deletes_respect_sequence_reinsert(spark, table_dir):
+    """A key re-appended AFTER its delete is visible again (Iceberg v2
+    sequence rule): deletes only apply to older data files."""
+    from gpiv_spark.sources.manifest import append_equality_deletes
+
+    write_snapshot(_docs(spark, 0, 100), table_dir, stats_cols=["cell"])
+    append_equality_deletes(
+        spark.createDataFrame([(14,), (15,)], "doc_id long"),
+        table_dir, ["doc_id"],
+    )
+    write_snapshot(_docs(spark, 14, 15), table_dir, stats_cols=["cell"])
+    ids = sorted(r.doc_id for r in read_snapshot(spark, table_dir).collect())
+    assert 14 in ids and 15 not in ids
+    assert ids.count(14) == 1  # the old row is dead, the new one live
+    assert len(ids) == 99  # 100 - deleted {14,15} + re-added {14}
+
+
+def test_compact_folds_deletes(spark, table_dir):
+    from gpiv_spark.sources.manifest import (
+        _load_manifest,
+        _snapshot_ids,
+        append_equality_deletes,
+        compact,
+    )
+
+    write_snapshot(_docs(spark, 0, 500), table_dir, stats_cols=["cell"])
+    append_equality_deletes(
+        spark.range(0, 500).filter("id % 5 = 0").select(
+            F.col("id").alias("doc_id")),
+        table_dir, ["doc_id"],
+    )
+    expect = sorted(i for i in range(500) if i % 5 != 0)
+    snap3 = compact(spark, table_dir, target_files=2)
+    man = _load_manifest(table_dir, snap3)
+    assert man["delete_files"] == []  # MoR folded into copy-on-write
+    ids = sorted(r.doc_id for r in read_snapshot(spark, table_dir).collect())
+    assert ids == expect
+    # pruning still sound on the compacted snapshot
+    plan = plan_scan(table_dir, ranges={"cell": (0, 5)})
+    assert plan["files_total"] == 2
+    assert _snapshot_ids(table_dir)[-1] == snap3
