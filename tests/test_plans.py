@@ -162,3 +162,28 @@ def test_media_kernels_are_map_side_only(spark):
         plan = _plan(q(spark, SF), "simple")
         assert "Exchange" not in plan, plan
         assert "Join" not in plan, plan
+
+
+def test_mor_delete_apply_is_broadcast_anti_join(spark, tmp_path):
+    """Merge-on-read delete application must be a BROADCAST anti-join
+    (delete keys are metadata-scale) — a shuffled anti-join would add
+    two exchanges per seq group on a 100-TB scan."""
+    from gpiv_spark.sources.manifest import (
+        append_equality_deletes,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.range(1000).select(F.col("id").alias("doc_id")),
+        tbl, stats_cols=["doc_id"],
+    )
+    append_equality_deletes(
+        spark.range(0, 1000, 3).select(F.col("id").alias("doc_id")),
+        tbl, ["doc_id"],
+    )
+    df = read_snapshot(spark, tbl)
+    plan = _plan(df, "simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert df.count() == 1000 - len(range(0, 1000, 3))
