@@ -130,8 +130,16 @@ def write_snapshot(df: DataFrame, table_dir: str | os.PathLike,
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
-    if equality_delete_cols is not None and mode != "append":
-        raise ValueError("delete commits are appends by construction")
+    if equality_delete_cols is not None:
+        if mode != "append":
+            raise ValueError("delete commits are appends by construction")
+        if not _snapshot_ids(table_dir):
+            # a delete with no parent would commit a snapshot with no
+            # data files AND a delete that (seq rule) never applies to
+            # anything — a silently dead commit, refuse up front
+            raise FileNotFoundError(
+                f"cannot commit deletes to empty table {table_dir}"
+            )
     table_dir = Path(table_dir)
     (table_dir / "data").mkdir(parents=True, exist_ok=True)
     data_dir = Path(tempfile.mkdtemp(dir=table_dir / "data", prefix="snap-"))
@@ -162,10 +170,14 @@ def write_snapshot(df: DataFrame, table_dir: str | os.PathLike,
             _load_manifest(table_dir, parent) if parent is not None else None
         )
         if equality_delete_cols is not None:
-            files = parent_man["files"] if parent_man else []
-            deletes = (parent_man.get("delete_files", [])
-                       if parent_man else [])
-            deletes = deletes + [
+            if parent_man is None:  # table emptied between guard+commit
+                raise FileNotFoundError(
+                    f"cannot commit deletes to empty table {table_dir}"
+                )
+            files = parent_man["files"]
+            # a delete commit keeps the TABLE's stats_cols contract
+            stats_cols = parent_man["stats_cols"]
+            deletes = parent_man.get("delete_files", []) + [
                 dict(f, eq_cols=list(equality_delete_cols))
                 for f in new_files
             ]
@@ -204,15 +216,11 @@ def append_equality_deletes(keys_df: DataFrame,
     merge-on-read half of the dedup endgame: the canonicalizer's
     losing doc_ids become one small delete file). Keys re-appended by
     a LATER snapshot are visible again (sequence rule). Returns the
-    new snapshot id; same OCC commit path as data writes."""
-    ids = _snapshot_ids(table_dir)
-    if not ids:
-        raise FileNotFoundError(f"no snapshots under {table_dir}")
-    man = _load_manifest(table_dir, ids[-1])
-    return write_snapshot(
-        keys_df, table_dir, stats_cols=man["stats_cols"],
-        equality_delete_cols=eq_cols,
-    )
+    new snapshot id; same OCC commit path as data writes (which also
+    enforces the non-empty-table precondition and carries the table's
+    stats_cols contract forward)."""
+    return write_snapshot(keys_df, table_dir, stats_cols=[],
+                          equality_delete_cols=eq_cols)
 
 
 def _load_manifest(table_dir: str | os.PathLike, snapshot: int) -> dict:
@@ -265,12 +273,15 @@ def read_snapshot(spark: SparkSession, table_dir: str | os.PathLike,
     equality deletes applied (merge-on-read).
 
     Delete application follows the Iceberg v2 sequence rule: a delete
-    file drops matching rows from data files with a LOWER seq only, so
-    data files are grouped by seq and each group is anti-joined
-    against the union of the deletes newer than it. Delete key sets
-    are broadcast — they are metadata-scale next to the data (a
-    deployment that accretes delete files beyond broadcast size runs
-    ``compact`` to fold them in)."""
+    file drops matching rows from data files with a LOWER seq only.
+    Data files are grouped by their APPLICABLE-DELETE-SET (not raw
+    seq: a streaming table with hundreds of append snapshots and one
+    delete still plans just two scan groups), and each group is
+    anti-joined against the union of its deletes with NULL-SAFE key
+    equality (a NULL in a delete key row matches NULL data values, as
+    the spec requires). Delete key sets are broadcast — they are
+    metadata-scale next to the data (a deployment that accretes delete
+    files beyond broadcast size runs ``compact`` to fold them in)."""
     plan = plan_scan(table_dir, snapshot, ranges)
     if not plan["files"]:
         any_file = _load_manifest(
@@ -293,21 +304,30 @@ def read_snapshot(spark: SparkSession, table_dir: str | os.PathLike,
     if not deletes:
         return residual(spark.read.parquet(*plan["files"]))
 
+    def applicable(seq: int) -> tuple:
+        return tuple(d["path"] for d in deletes if d["seq"] > seq)
+
+    groups: dict[tuple, list[str]] = {}
+    for p, s in zip(plan["files"], plan["file_seqs"]):
+        groups.setdefault(applicable(s), []).append(p)
+
     out = None
-    for seq in sorted(set(plan["file_seqs"])):
-        group = [p for p, s in zip(plan["files"], plan["file_seqs"])
-                 if s == seq]
+    for del_paths, group in groups.items():
         gdf = residual(spark.read.parquet(*group))
-        applicable = [d for d in deletes if d["seq"] > seq]
+        dels = [d for d in deletes if d["path"] in set(del_paths)]
         # one anti-join per distinct key-column set among the
         # applicable deletes (usually exactly one)
-        for cols in {tuple(d["eq_cols"]) for d in applicable}:
+        for cols in {tuple(d["eq_cols"]) for d in dels}:
             keys = spark.read.parquet(
-                *[d["path"] for d in applicable
+                *[d["path"] for d in dels
                   if tuple(d["eq_cols"]) == cols]
-            ).distinct()
-            gdf = gdf.join(F.broadcast(keys), on=list(cols),
-                           how="left_anti")
+            ).distinct().alias("_dk")
+            ga = gdf.alias("_dt")
+            cond = None
+            for c in cols:  # null-safe: NULL delete keys match NULLs
+                term = F.col(f"_dt.{c}").eqNullSafe(F.col(f"_dk.{c}"))
+                cond = term if cond is None else cond & term
+            gdf = ga.join(F.broadcast(keys), cond, "left_anti")
         out = gdf if out is None else out.unionByName(gdf)
     return out
 

@@ -288,3 +288,51 @@ def test_compact_folds_deletes(spark, table_dir):
     plan = plan_scan(table_dir, ranges={"cell": (0, 5)})
     assert plan["files_total"] == 2
     assert _snapshot_ids(table_dir)[-1] == snap3
+
+
+def test_deletes_null_safe_and_empty_table_guard(spark, table_dir):
+    """Spec semantics: a NULL in a delete key row matches NULL data
+    values; and a delete on an empty table is refused (it could never
+    apply to anything)."""
+    from gpiv_spark.sources.manifest import append_equality_deletes
+
+    with pytest.raises(FileNotFoundError):
+        append_equality_deletes(
+            spark.createDataFrame([(1,)], "doc_id long"),
+            table_dir, ["doc_id"],
+        )
+    rows = spark.createDataFrame(
+        [(1, "en"), (2, None), (3, "de"), (4, None)],
+        "doc_id long, lang string",
+    )
+    write_snapshot(rows, table_dir, stats_cols=["doc_id"])
+    append_equality_deletes(
+        spark.createDataFrame([(None,)], "lang string"),
+        table_dir, ["lang"],
+    )
+    live = sorted(r.doc_id for r in read_snapshot(spark, table_dir).collect())
+    assert live == [1, 3]  # both NULL-lang rows dead
+
+
+def test_delete_scan_groups_by_applicable_set(spark, table_dir):
+    """Many append snapshots + one delete must NOT fan the read into a
+    scan per snapshot: files group by applicable-delete-set (2 groups
+    here), so the plan stays O(#delete boundaries), not O(#appends)."""
+    from gpiv_spark.sources.manifest import append_equality_deletes
+
+    for lo in range(0, 50, 10):  # 5 append snapshots
+        write_snapshot(_docs(spark, lo, lo + 10), table_dir,
+                       stats_cols=["cell"])
+    append_equality_deletes(
+        spark.createDataFrame([(7,), (23,)], "doc_id long"),
+        table_dir, ["doc_id"],
+    )
+    write_snapshot(_docs(spark, 50, 60), table_dir, stats_cols=["cell"])
+    df = read_snapshot(spark, table_dir)
+    ids = sorted(r.doc_id for r in df.collect())
+    assert ids == sorted(set(range(60)) - {7, 23})
+    # exactly 2 scan groups -> 1 anti-join in the (final) plan; AQE's
+    # explain prints final + initial, so inspect the final section only
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple").split("Initial Plan")[0]
+    assert plan.count("LeftAnti") == 1, plan
