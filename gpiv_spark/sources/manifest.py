@@ -97,7 +97,8 @@ def _snapshot_ids(table_dir: str | os.PathLike) -> list[int]:
 def write_snapshot(df: DataFrame, table_dir: str | os.PathLike,
                    stats_cols: list[str], mode: str = "append",
                    expected_parent: int | None = None, *,
-                   equality_delete_cols: list[str] | None = None) -> int:
+                   equality_delete_cols: list[str] | None = None,
+                   positional_deletes: bool = False) -> int:
     """Commit ``df`` as a new snapshot; returns its id.
 
     mode="append" keeps the parent snapshot's files live; "overwrite"
@@ -118,6 +119,14 @@ def write_snapshot(df: DataFrame, table_dir: str | os.PathLike,
     delete is visible again — the spec's sequence-number rule). Every
     manifest entry carries ``seq`` = the snapshot id that added it.
 
+    ``positional_deletes`` commits ``df`` as a POSITIONAL DELETE file
+    set (the other Iceberg v2 flavor): ``df`` must be exactly
+    ``(file_path string, pos long)`` rows naming a data file (the
+    ``_file_path`` URI exposed by ``read_snapshot(with_pos=True)``)
+    and a 0-based row index within it. Since a file path identifies
+    exactly one immutable data file, path matching subsumes the
+    sequence rule for positional deletes.
+
     Concurrency: data files land in a UNIQUE directory (no dependence
     on the snapshot id), and the commit point is an exclusive
     hard-link of the staged manifest into ``snapshots/N.json`` —
@@ -130,7 +139,14 @@ def write_snapshot(df: DataFrame, table_dir: str | os.PathLike,
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
-    if equality_delete_cols is not None:
+    if equality_delete_cols is not None and positional_deletes:
+        raise ValueError("one delete flavor per commit")
+    is_delete = equality_delete_cols is not None or positional_deletes
+    if positional_deletes and set(df.columns) != {"file_path", "pos"}:
+        raise ValueError(
+            f"positional deletes need (file_path, pos), got {df.columns}"
+        )
+    if is_delete:
         if mode != "append":
             raise ValueError("delete commits are appends by construction")
         if not _snapshot_ids(table_dir):
@@ -146,10 +162,11 @@ def write_snapshot(df: DataFrame, table_dir: str | os.PathLike,
     data_dir.rmdir()  # Spark wants to create the leaf dir itself
     if equality_delete_cols is not None:
         df = df.select(*equality_delete_cols).distinct()
+    elif positional_deletes:
+        df = df.select("file_path", "pos").distinct()
     df.write.mode("errorifexists").parquet(str(data_dir))
     new_files = [
-        _file_stats(str(p), [] if equality_delete_cols is not None
-                    else stats_cols)
+        _file_stats(str(p), [] if is_delete else stats_cols)
         for p in sorted(data_dir.glob("*.parquet"))
     ]
 
@@ -169,7 +186,7 @@ def write_snapshot(df: DataFrame, table_dir: str | os.PathLike,
         parent_man = (
             _load_manifest(table_dir, parent) if parent is not None else None
         )
-        if equality_delete_cols is not None:
+        if is_delete:
             if parent_man is None:  # table emptied between guard+commit
                 raise FileNotFoundError(
                     f"cannot commit deletes to empty table {table_dir}"
@@ -177,9 +194,12 @@ def write_snapshot(df: DataFrame, table_dir: str | os.PathLike,
             files = parent_man["files"]
             # a delete commit keeps the TABLE's stats_cols contract
             stats_cols = parent_man["stats_cols"]
+            marker = (
+                {"positional": True} if positional_deletes
+                else {"eq_cols": list(equality_delete_cols)}
+            )
             deletes = parent_man.get("delete_files", []) + [
-                dict(f, eq_cols=list(equality_delete_cols))
-                for f in new_files
+                dict(f, **marker) for f in new_files
             ]
         elif mode == "append" and parent_man is not None:
             files = parent_man["files"] + new_files
@@ -221,6 +241,19 @@ def append_equality_deletes(keys_df: DataFrame,
     stats_cols contract forward)."""
     return write_snapshot(keys_df, table_dir, stats_cols=[],
                           equality_delete_cols=eq_cols)
+
+
+def append_positional_deletes(pos_df: DataFrame,
+                              table_dir: str | os.PathLike) -> int:
+    """Commit a POSITIONAL delete snapshot: ``pos_df`` is
+    ``(file_path string, pos long)`` rows — the ``_file_path``/``_pos``
+    handles from ``read_snapshot(..., with_pos=True)`` — each killing
+    one physical row of one data file. The row-level flavor for
+    surgical dedup (keep row 0 of a duplicate run, delete rows 1..n-1
+    even when every column is byte-identical, where equality deletes
+    cannot distinguish the keeper). Returns the new snapshot id."""
+    return write_snapshot(pos_df, table_dir, stats_cols=[],
+                          positional_deletes=True)
 
 
 def _load_manifest(table_dir: str | os.PathLike, snapshot: int) -> dict:
@@ -268,7 +301,8 @@ def plan_scan(table_dir: str | os.PathLike, snapshot: int | None = None,
 
 def read_snapshot(spark: SparkSession, table_dir: str | os.PathLike,
                   snapshot: int | None = None,
-                  ranges: dict[str, tuple] | None = None) -> DataFrame:
+                  ranges: dict[str, tuple] | None = None,
+                  with_pos: bool = False) -> DataFrame:
     """DataFrame over the pruned file set, residual range filter and
     equality deletes applied (merge-on-read).
 
@@ -279,9 +313,16 @@ def read_snapshot(spark: SparkSession, table_dir: str | os.PathLike,
     delete still plans just two scan groups), and each group is
     anti-joined against the union of its deletes with NULL-SAFE key
     equality (a NULL in a delete key row matches NULL data values, as
-    the spec requires). Delete key sets are broadcast — they are
-    metadata-scale next to the data (a deployment that accretes delete
-    files beyond broadcast size runs ``compact`` to fold them in)."""
+    the spec requires). POSITIONAL deletes anti-join on
+    ``(_metadata.file_path, _metadata.row_index)`` — path identity
+    subsumes the sequence rule since data files are immutable. Delete
+    key sets are broadcast — they are metadata-scale next to the data
+    (a deployment that accretes delete files beyond broadcast size
+    runs ``compact`` to fold them in).
+
+    ``with_pos=True`` appends ``_file_path``/``_pos`` columns (the
+    handles a caller needs to CONSTRUCT positional deletes from a
+    scan, e.g. "delete the 2nd..nth duplicates I just identified")."""
     plan = plan_scan(table_dir, snapshot, ranges)
     if not plan["files"]:
         any_file = _load_manifest(
@@ -301,11 +342,18 @@ def read_snapshot(spark: SparkSession, table_dir: str | os.PathLike,
         return df
 
     deletes = plan["delete_files"]
-    if not deletes:
+    if not deletes and not with_pos:
         return residual(spark.read.parquet(*plan["files"]))
+    eq_dels = [d for d in deletes if not d.get("positional")]
+    pos_dels = [d for d in deletes if d.get("positional")]
+
+    def with_meta(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "_file_path", F.col("_metadata.file_path")
+        ).withColumn("_pos", F.col("_metadata.row_index"))
 
     def applicable(seq: int) -> tuple:
-        return tuple(d["path"] for d in deletes if d["seq"] > seq)
+        return tuple(d["path"] for d in eq_dels if d["seq"] > seq)
 
     groups: dict[tuple, list[str]] = {}
     for p, s in zip(plan["files"], plan["file_seqs"]):
@@ -313,8 +361,21 @@ def read_snapshot(spark: SparkSession, table_dir: str | os.PathLike,
 
     out = None
     for del_paths, group in groups.items():
-        gdf = residual(spark.read.parquet(*group))
-        dels = [d for d in deletes if d["path"] in set(del_paths)]
+        gdf = spark.read.parquet(*group)
+        if pos_dels or with_pos:
+            gdf = with_meta(gdf)
+        gdf = residual(gdf)
+        if pos_dels:  # path identity scopes these, no seq grouping
+            pkeys = spark.read.parquet(
+                *[d["path"] for d in pos_dels]
+            ).distinct().alias("_pk")
+            gdf = gdf.alias("_pt").join(
+                F.broadcast(pkeys),
+                (F.col("_pt._file_path") == F.col("_pk.file_path"))
+                & (F.col("_pt._pos") == F.col("_pk.pos")),
+                "left_anti",
+            )
+        dels = [d for d in eq_dels if d["path"] in set(del_paths)]
         # one anti-join per distinct key-column set among the
         # applicable deletes (usually exactly one)
         for cols in {tuple(d["eq_cols"]) for d in dels}:
@@ -328,6 +389,8 @@ def read_snapshot(spark: SparkSession, table_dir: str | os.PathLike,
                 term = F.col(f"_dt.{c}").eqNullSafe(F.col(f"_dk.{c}"))
                 cond = term if cond is None else cond & term
             gdf = ga.join(F.broadcast(keys), cond, "left_anti")
+        if (pos_dels or with_pos) and not with_pos:
+            gdf = gdf.drop("_file_path", "_pos")
         out = gdf if out is None else out.unionByName(gdf)
     return out
 

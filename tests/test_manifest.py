@@ -336,3 +336,74 @@ def test_delete_scan_groups_by_applicable_set(spark, table_dir):
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "simple").split("Initial Plan")[0]
     assert plan.count("LeftAnti") == 1, plan
+
+
+def test_positional_deletes_surgical_row_removal(spark, table_dir):
+    """Positional deletes kill specific physical rows — including one
+    of two byte-identical duplicates, which equality deletes cannot
+    distinguish — and compact() folds them away."""
+    from gpiv_spark.sources.manifest import (
+        _load_manifest,
+        _snapshot_ids,
+        append_positional_deletes,
+        compact,
+    )
+
+    # two byte-identical rows (doc_id 42 twice) + distinct neighbors
+    rows = spark.createDataFrame(
+        [(41, "a"), (42, "dup"), (42, "dup"), (43, "b")],
+        "doc_id long, payload string",
+    ).coalesce(1)
+    write_snapshot(rows, table_dir, stats_cols=["doc_id"])
+    scan = read_snapshot(spark, table_dir, with_pos=True)
+    assert {"_file_path", "_pos"} < set(scan.columns)
+    # keep the FIRST of each duplicate run, delete the rest
+    import pyspark.sql.window as W
+
+    w = W.Window.partitionBy("doc_id", "payload").orderBy("_pos")
+    losers = (
+        scan.withColumn("_rk", F.row_number().over(w))
+        .filter("_rk > 1")
+        .select(F.col("_file_path").alias("file_path"),
+                F.col("_pos").alias("pos"))
+    )
+    append_positional_deletes(losers, table_dir)
+    live = read_snapshot(spark, table_dir)
+    assert "_file_path" not in live.columns  # helper cols dropped
+    got = sorted((r.doc_id, r.payload) for r in live.collect())
+    assert got == [(41, "a"), (42, "dup"), (43, "b")]
+    # compaction folds the positional delete into copy-on-write
+    sid = compact(spark, table_dir, target_files=1)
+    assert _load_manifest(table_dir, sid)["delete_files"] == []
+    got2 = sorted((r.doc_id, r.payload)
+                  for r in read_snapshot(spark, table_dir).collect())
+    assert got2 == got
+    assert _snapshot_ids(table_dir)[-1] == sid
+
+
+def test_positional_and_equality_deletes_compose(spark, table_dir):
+    from gpiv_spark.sources.manifest import (
+        append_equality_deletes,
+        append_positional_deletes,
+    )
+
+    write_snapshot(_docs(spark, 0, 100), table_dir, stats_cols=["cell"])
+    append_equality_deletes(
+        spark.createDataFrame([(10,), (11,)], "doc_id long"),
+        table_dir, ["doc_id"],
+    )
+    scan = read_snapshot(spark, table_dir, with_pos=True)
+    append_positional_deletes(
+        scan.filter("doc_id = 20").select(
+            F.col("_file_path").alias("file_path"),
+            F.col("_pos").alias("pos"),
+        ),
+        table_dir,
+    )
+    ids = sorted(r.doc_id for r in read_snapshot(spark, table_dir).collect())
+    assert ids == sorted(set(range(100)) - {10, 11, 20})
+    # bad schema refused
+    with pytest.raises(ValueError):
+        append_positional_deletes(
+            spark.createDataFrame([(1,)], "x long"), table_dir
+        )
