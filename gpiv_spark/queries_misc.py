@@ -707,9 +707,10 @@ def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MOR_ORACLE = """
     SELECT doc_id, n_chars
     FROM documents
-    WHERE (doc_id < 300 AND doc_id % 7 <> 0)
+    WHERE ((doc_id < 300 AND doc_id % 7 <> 0)
        OR (doc_id >= 300 AND doc_id < 400)
-       OR (doc_id < 50 AND doc_id % 7 = 0)
+       OR (doc_id < 50 AND doc_id % 7 = 0))
+      AND doc_id % 97 <> 5
 """
 
 
@@ -744,6 +745,18 @@ def q_manifest_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter("(doc_id >= 300 AND doc_id < 400) "
                     "OR (doc_id < 50 AND doc_id % 7 = 0)"),
         table_dir, stats_cols=["doc_id"],
+    )
+    # seq 4: POSITIONAL delete of doc_id % 97 = 5 — surgical row
+    # removal addressed by (_file_path, _pos) from a live scan
+    from gpiv_spark.sources.manifest import append_positional_deletes
+
+    scan = read_snapshot(spark, table_dir, with_pos=True)
+    append_positional_deletes(
+        scan.filter("doc_id % 97 = 5").select(
+            F.col("_file_path").alias("file_path"),
+            F.col("_pos").alias("pos"),
+        ),
+        table_dir,
     )
     return read_snapshot(spark, table_dir)
 
