@@ -229,6 +229,15 @@ def _lzw_encode(buf: bytes) -> bytes:
                 nbits = 9
         w = byte
     emit(w, nbits)
+    # The decoder appends one more table entry after consuming this
+    # final data code; if that lands on the early-change boundary
+    # (511/1023/2047) it widens BEFORE reading EOI. Mirror the same
+    # advance here (what libtiff's LZWPostEncode does) so EOI goes out
+    # at the width the decoder reads it with — otherwise the tail
+    # desyncs and strict readers see garbage after the last strip byte.
+    next_code += 1
+    if next_code == (1 << nbits) and nbits < 12:
+        nbits += 1
     emit(EOI, nbits)
     if bits:
         out.append((value << (8 - bits)) & 0xFF)

@@ -35,6 +35,51 @@ def test_lzw_encoder_is_decoder_inverse(case):
     assert _lzw_decode(_lzw_encode(buf)) == buf
 
 
+def _distinct_pair_buf(length: int, mult: int = 37) -> bytes:
+    """Byte sequence whose consecutive pairs are (mostly) all distinct,
+    so the encoder emits ~one code per byte and the table length at the
+    final code is controllable by `length`."""
+    seq: list[int] = []
+    d = 1
+    while len(seq) < length:
+        x = (d * mult) % 256
+        for _ in range(255):
+            seq.append(x)
+            x = (x + d) % 256
+            if len(seq) >= length:
+                break
+        d += 1
+    return bytes(seq[:length])
+
+
+@pytest.mark.parametrize("length", [254, 829, 2165])
+def test_lzw_early_change_boundary_at_final_code(length):
+    """Directed regression for the encoder/decoder width desync at the
+    final data code (ADVICE r4): the decoder appends a table entry
+    AFTER consuming the last data code, so when that append lands the
+    table exactly on an early-change boundary (511/1023/2047) the
+    decoder widens before reading EOI. Lengths 829 and 2165 of this
+    generator land the table on 1023 and 2047 with a non-byte-aligned
+    stream — both desynced (garbage tail) before the LZWPostEncode-style
+    width advance in _lzw_encode; 254 lands on 511 byte-aligned (the
+    case that silently escaped)."""
+    buf = _distinct_pair_buf(length)
+    assert _lzw_decode(_lzw_encode(buf)) == buf
+
+
+def test_lzw_fuzz_round_trip():
+    """Seeded fuzz (VERDICT r4 #6): >=1000 buffers across entropy
+    levels and lengths, including low-entropy runs that graze the
+    width boundaries and high-entropy buffers long enough to overflow
+    the 12-bit table and force mid-stream CLEAR+reset cycles."""
+    rng = np.random.default_rng(20260817)
+    for trial in range(1200):
+        n = int(rng.integers(1, 6000))
+        k = int(rng.integers(2, 257))  # alphabet size: 2 (runs) .. 256
+        buf = rng.integers(0, k, n, dtype=np.uint8).tobytes()
+        assert _lzw_decode(_lzw_encode(buf)) == buf, (trial, n, k)
+
+
 @pytest.mark.parametrize("compress", ["lzw", "none"])
 def test_write_read_round_trip_exact(compress):
     rng = np.random.default_rng(11)
