@@ -52,6 +52,15 @@ class ConcurrentOverwrite(RuntimeError):
 # bytes aren't JSON-serializable); BOOLEAN/INT96 add nothing.
 _NUMERIC_PHYSICAL = {"INT32", "INT64", "FLOAT", "DOUBLE"}
 
+# read_snapshot broadcasts delete key sets up to this many manifest-
+# counted rows (~tens of MB of narrow key tuples — the regime where a
+# hash build on every executor beats shuffling the data side). Bigger
+# delete sets fall back to a plain shuffled anti-join: forcing a
+# broadcast build of an unbounded delete backlog is how a reader OOMs
+# its driver, and a 100 TB table can accrete millions of delete rows
+# between compactions. Tests monkeypatch this to pin both plans.
+BROADCAST_DELETE_ROWS = 1_000_000
+
 
 def _file_stats(path: str, stats_cols: list[str]) -> dict:
     """Row count + per-column min/max from the parquet footer only.
@@ -322,7 +331,13 @@ def read_snapshot(spark: SparkSession, table_dir: str | os.PathLike,
 
     ``with_pos=True`` appends ``_file_path``/``_pos`` columns (the
     handles a caller needs to CONSTRUCT positional deletes from a
-    scan, e.g. "delete the 2nd..nth duplicates I just identified")."""
+    scan, e.g. "delete the 2nd..nth duplicates I just identified").
+
+    Delete key sets are broadcast while the manifest's own row counts
+    say they are metadata-scale (``BROADCAST_DELETE_ROWS``); past that
+    the anti-join degrades to a plain shuffled join instead of forcing
+    an over-threshold broadcast build — a 100 TB table can carry
+    millions of delete rows between ``compact`` runs."""
     plan = plan_scan(table_dir, snapshot, ranges)
     if not plan["files"]:
         any_file = _load_manifest(
@@ -331,6 +346,12 @@ def read_snapshot(spark: SparkSession, table_dir: str | os.PathLike,
         if not any_file:
             raise FileNotFoundError("snapshot has no data files")
         schema = spark.read.parquet(any_file[0]["path"]).schema
+        if with_pos:  # keep the promised handle columns on empty plans
+            from pyspark.sql.types import LongType, StringType
+
+            schema = schema.add("_file_path", StringType()).add(
+                "_pos", LongType()
+            )
         return spark.createDataFrame([], schema)
 
     def residual(df: DataFrame) -> DataFrame:
@@ -359,6 +380,23 @@ def read_snapshot(spark: SparkSession, table_dir: str | os.PathLike,
     for p, s in zip(plan["files"], plan["file_seqs"]):
         groups.setdefault(applicable(s), []).append(p)
 
+    def delete_side(dels: list[dict], key_cols):
+        """Distinct key frame for a delete-file set, broadcast only
+        while the manifest's row counts stay metadata-scale."""
+        keys = spark.read.parquet(
+            *[d["path"] for d in dels]
+        ).select(*key_cols).distinct()
+        if sum(d["rows"] for d in dels) <= BROADCAST_DELETE_ROWS:
+            keys = F.broadcast(keys)
+        return keys
+
+    # group-independent: build (and, when small, broadcast) the
+    # positional-key frame ONCE, not per applicable-delete-set group
+    pkeys = (
+        delete_side(pos_dels, ("file_path", "pos")).alias("_pk")
+        if pos_dels else None
+    )
+
     out = None
     for del_paths, group in groups.items():
         gdf = spark.read.parquet(*group)
@@ -366,11 +404,8 @@ def read_snapshot(spark: SparkSession, table_dir: str | os.PathLike,
             gdf = with_meta(gdf)
         gdf = residual(gdf)
         if pos_dels:  # path identity scopes these, no seq grouping
-            pkeys = spark.read.parquet(
-                *[d["path"] for d in pos_dels]
-            ).distinct().alias("_pk")
             gdf = gdf.alias("_pt").join(
-                F.broadcast(pkeys),
+                pkeys,
                 (F.col("_pt._file_path") == F.col("_pk.file_path"))
                 & (F.col("_pt._pos") == F.col("_pk.pos")),
                 "left_anti",
@@ -379,16 +414,15 @@ def read_snapshot(spark: SparkSession, table_dir: str | os.PathLike,
         # one anti-join per distinct key-column set among the
         # applicable deletes (usually exactly one)
         for cols in {tuple(d["eq_cols"]) for d in dels}:
-            keys = spark.read.parquet(
-                *[d["path"] for d in dels
-                  if tuple(d["eq_cols"]) == cols]
-            ).distinct().alias("_dk")
+            keys = delete_side(
+                [d for d in dels if tuple(d["eq_cols"]) == cols], cols
+            ).alias("_dk")
             ga = gdf.alias("_dt")
             cond = None
             for c in cols:  # null-safe: NULL delete keys match NULLs
                 term = F.col(f"_dt.{c}").eqNullSafe(F.col(f"_dk.{c}"))
                 cond = term if cond is None else cond & term
-            gdf = ga.join(F.broadcast(keys), cond, "left_anti")
+            gdf = ga.join(keys, cond, "left_anti")
         if (pos_dels or with_pos) and not with_pos:
             gdf = gdf.drop("_file_path", "_pos")
         out = gdf if out is None else out.unionByName(gdf)

@@ -338,6 +338,22 @@ def test_delete_scan_groups_by_applicable_set(spark, table_dir):
     assert plan.count("LeftAnti") == 1, plan
 
 
+def test_empty_plan_with_pos_keeps_handle_columns(spark, table_dir):
+    """A range predicate that prunes EVERY file must still return the
+    promised _file_path/_pos handles (ADVICE r4): positional-delete
+    builders select them from the scan and expect zero rows, not an
+    AnalysisException."""
+    write_snapshot(_docs(spark, 0, 1000), table_dir, stats_cols=["cell"])
+    df = read_snapshot(
+        spark, table_dir, ranges={"cell": (900, 999)}, with_pos=True
+    )
+    assert df.select("_file_path", "_pos", "doc_id").count() == 0
+    # and without with_pos the helper columns stay absent
+    plain = read_snapshot(spark, table_dir, ranges={"cell": (900, 999)})
+    assert "_file_path" not in plain.columns
+    assert plain.count() == 0
+
+
 def test_positional_deletes_surgical_row_removal(spark, table_dir):
     """Positional deletes kill specific physical rows — including one
     of two byte-identical duplicates, which equality deletes cannot
