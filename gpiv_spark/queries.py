@@ -580,7 +580,9 @@ _ELLIPSE_SQL = f"""
 """
 
 
-@register("ellipse_params", _ELLIPSE_SQL)
+# r5 rotation: closed-form column math, pytest-pinned — retired so
+# round-4 work gets driver rows
+@register("ellipse_params", _ELLIPSE_SQL, gate=False)
 def q_ellipse_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_both(spark, sf_dir, _ELLIPSE_SQL)
 

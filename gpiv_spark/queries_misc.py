@@ -31,7 +31,9 @@ def _flip_sql(d) -> str:
     """
 
 
-@register("raster_flip", _flip_sql(DUCKDB))
+# r5 rotation: long-stable index projection, pinned by the geotiff
+# golden tests — retired so round-4 work gets driver rows
+@register("raster_flip", _flip_sql(DUCKDB), gate=False)
 def q_raster_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_flip_sql(SPARK))
 
@@ -54,7 +56,9 @@ _PCT_SQL_DUCK = """
 """
 
 
-@register("display_norm", _PCT_SQL_DUCK)
+# r5 rotation: bare percentile agg, math re-verified every round in
+# the retired tier — swapped out for manifest_mor
+@register("display_norm", _PCT_SQL_DUCK, gate=False)
 def q_display_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
         "lineitem"
@@ -701,8 +705,8 @@ def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rewrite), re-append some deleted keys, read back merge-on-read. The
 # oracle states the expected live set in closed form; a wrong
 # sequence-number rule (deletes hitting newer files, or not hitting
-# older ones) breaks the hash. Registered pytest-tier (gate full);
-# verified by tools/check_oracles.py + tests/test_retired_oracles.py.
+# older ones) breaks the hash. Gated since r5 (rotation: new work
+# ships with driver rows; stable twins moved to the retired tier).
 
 _MOR_ORACLE = """
     SELECT doc_id, n_chars
@@ -714,7 +718,7 @@ _MOR_ORACLE = """
 """
 
 
-@register("manifest_mor", _MOR_ORACLE, gate=False)
+@register("manifest_mor", _MOR_ORACLE)
 def q_manifest_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     import atexit
     import shutil
@@ -766,8 +770,7 @@ def q_manifest_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keep every 2nd frame -> exact int64 luma sum per sampled frame. One
 # clip per document (the spans fixture carries image/audio spans only;
 # a real deployment reads the video binary column off the table).
-# Registered pytest-tier: the 50-slot driver gate is full; verified by
-# tools/check_oracles.py + tests/test_retired_oracles.py.
+# Gated since r5 (rotation: new work ships with driver rows).
 
 _VIDEO_ORACLE = _MEDIA_CTE + """,
     vm AS (SELECT i, (i * 167) % 9973 AS mnum FROM d),
@@ -795,7 +798,7 @@ _VIDEO_ORACLE = _MEDIA_CTE + """,
 """
 
 
-@register("video_frames", _VIDEO_ORACLE, gate=False)
+@register("video_frames", _VIDEO_ORACLE)
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stride-2 keyframe sampling over per-doc AVI clips, exact int64."""
     from gpiv_spark.sources import media as md
@@ -1624,7 +1627,7 @@ def _span_chunk_oracle(n_docs: int = 500, budget: int = _CHUNK_BUDGET) -> str:
     """
 
 
-@register("span_chunk", _span_chunk_oracle(), gate=False)
+@register("span_chunk", _span_chunk_oracle())
 def q_span_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpiv_spark import fixtures
 
