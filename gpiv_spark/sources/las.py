@@ -18,8 +18,10 @@ Scale note: one LAS *file* parses on one worker (np.frombuffer over
 the record block — no per-point Python). ``las_table`` therefore goes
 through ``spark.read.format("binaryFile")`` + ``mapInPandas``: a
 10^4-file collection parses as 10^4 independent tasks; no file ever
-visits the driver. LAZ (compressed) stays out of scope — the
-reference's own fixtures ship uncompressed in its repo history.
+visits the driver. LAZ (compressed, run_test_v1.py:44) is handled by
+sources/laz.py — a from-scratch LASzip-architecture codec (chunked
+arithmetic coding; see its docstring for the faithfulness statement)
+— and routes through the same reader automatically.
 """
 
 from __future__ import annotations
@@ -50,43 +52,48 @@ def _pad(s: bytes, n: int) -> bytes:
     return s[:n] + b"\x00" * (n - len(s[:n]))
 
 
-def write_las(x: np.ndarray, y: np.ndarray, z: np.ndarray,
-              extra: dict[str, np.ndarray] | None = None,
-              scale: float = 0.001) -> bytes:
-    """Synthesize an uncompressed LAS 1.2 / format-0 blob.
-
-    ``extra``: name -> float64 array; stored as extra-byte dims behind a
-    LASF_Spec/4 VLR (data_type 10 = double), exactly how the reference's
-    TPU products carry VarianceX..CovarianceYZ.
-    """
+def _build_points(x, y, z, extra: dict, scale: float):
+    """Scaled struct records + (offset, minmax) shared by the LAS and
+    LAZ writers."""
     x = np.asarray(x, np.float64)
     y = np.asarray(y, np.float64)
     z = np.asarray(z, np.float64)
-    extra = extra or {}
     n = len(x)
     off = (float(x.min()) if n else 0.0, float(y.min()) if n else 0.0,
            float(z.min()) if n else 0.0)
+    dt = _point_dtype(len(extra), list(extra))
+    pts = np.zeros(n, dtype=dt)
+    pts["X"] = np.round((x - off[0]) / scale).astype(np.int64)
+    pts["Y"] = np.round((y - off[1]) / scale).astype(np.int64)
+    pts["Z"] = np.round((z - off[2]) / scale).astype(np.int64)
+    pts["rn"] = 0b00001001  # 1 return, return number 1
+    for name, arr in extra.items():
+        pts[name] = np.asarray(arr, np.float64)
+    minmax = (float(x.max()), float(x.min()), float(y.max()),
+              float(y.min()), float(z.max()), float(z.min())) if n else None
+    return pts, off, minmax
 
+
+def _extra_vlr(extra_names) -> bytes:
+    """LASF_Spec/4 extra-byte descriptor VLR (type 10 = double)."""
     eb_payload = b""
-    for name in extra:
+    for name in extra_names:
         d = bytearray(192)
         d[2] = 10  # data_type: double
         d[4:36] = _pad(name.encode(), 32)
         eb_payload += bytes(d)
-    vlrs = b""
-    n_vlr = 0
-    if eb_payload:
-        vlrs = (
-            struct.pack("<H", 0) + _pad(b"LASF_Spec", 16)
-            + struct.pack("<HH", 4, len(eb_payload)) + _pad(b"extra bytes", 32)
-            + eb_payload
-        )
-        n_vlr = 1
+    if not eb_payload:
+        return b""
+    return (
+        struct.pack("<H", 0) + _pad(b"LASF_Spec", 16)
+        + struct.pack("<HH", 4, len(eb_payload)) + _pad(b"extra bytes", 32)
+        + eb_payload
+    )
 
-    rec_len = HDR_FMT0_LEN + 8 * len(extra)
+
+def _build_header(n: int, rec_len: int, pt_offset: int, n_vlr: int,
+                  scale: float, off, minmax, fmt_byte: int) -> bytes:
     header_size = 227
-    pt_offset = header_size + len(vlrs)
-
     hdr = bytearray(header_size)
     hdr[0:4] = b"LASF"
     hdr[24] = 1
@@ -96,26 +103,33 @@ def write_las(x: np.ndarray, y: np.ndarray, z: np.ndarray,
     struct.pack_into("<H", hdr, 94, header_size)
     struct.pack_into("<I", hdr, 96, pt_offset)
     struct.pack_into("<I", hdr, 100, n_vlr)
-    hdr[104] = 0  # point format
+    hdr[104] = fmt_byte
     struct.pack_into("<H", hdr, 105, rec_len)
     struct.pack_into("<I", hdr, 107, n)
     struct.pack_into("<I", hdr, 111, n)  # returns[0]
     struct.pack_into("<3d", hdr, 131, scale, scale, scale)
     struct.pack_into("<3d", hdr, 155, *off)
-    if n:
-        struct.pack_into("<6d", hdr, 179, float(x.max()), float(x.min()),
-                         float(y.max()), float(y.min()),
-                         float(z.max()), float(z.min()))
+    if minmax is not None:
+        struct.pack_into("<6d", hdr, 179, *minmax)
+    return bytes(hdr)
 
-    dt = _point_dtype(len(extra), list(extra))
-    pts = np.zeros(n, dtype=dt)
-    pts["X"] = np.round((x - off[0]) / scale).astype(np.int64)
-    pts["Y"] = np.round((y - off[1]) / scale).astype(np.int64)
-    pts["Z"] = np.round((z - off[2]) / scale).astype(np.int64)
-    pts["rn"] = 0b00001001  # 1 return, return number 1
-    for name, arr in extra.items():
-        pts[name] = np.asarray(arr, np.float64)
-    return bytes(hdr) + vlrs + pts.tobytes()
+
+def write_las(x: np.ndarray, y: np.ndarray, z: np.ndarray,
+              extra: dict[str, np.ndarray] | None = None,
+              scale: float = 0.001) -> bytes:
+    """Synthesize an uncompressed LAS 1.2 / format-0 blob.
+
+    ``extra``: name -> float64 array; stored as extra-byte dims behind a
+    LASF_Spec/4 VLR (data_type 10 = double), exactly how the reference's
+    TPU products carry VarianceX..CovarianceYZ.
+    """
+    extra = extra or {}
+    pts, off, minmax = _build_points(x, y, z, extra, scale)
+    vlrs = _extra_vlr(list(extra))
+    rec_len = HDR_FMT0_LEN + 8 * len(extra)
+    hdr = _build_header(len(pts), rec_len, 227 + len(vlrs),
+                        1 if vlrs else 0, scale, off, minmax, 0)
+    return hdr + vlrs + pts.tobytes()
 
 
 def _point_dtype(n_extra: int, names: list[str]) -> np.dtype:
@@ -150,13 +164,12 @@ def read_las(blob: bytes):
     n = n_legacy
     if n == 0 and vmin == 4 and header_size >= 375:
         (n,) = struct.unpack_from("<Q", blob, 247)
-    if blob[104] & 0xC0:
-        raise LasFormatError("LAZ-compressed points not supported")
     if fmt != 0:
         raise LasFormatError(f"only point format 0 supported (got {fmt})")
 
-    # VLR walk: find LASF_Spec/4 extra-byte descriptors
+    # VLR walk: LASF_Spec/4 extra-byte descriptors + laszip/22204
     extra_names: list[str] = []
+    laszip_vlr: bytes | None = None
     pos = header_size
     for _ in range(n_vlr):
         user_id = blob[pos + 2 : pos + 18].rstrip(b"\x00").decode("ascii",
@@ -173,6 +186,8 @@ def read_las(blob: bytes):
                 extra_names.append(
                     d[4:36].rstrip(b"\x00").decode("ascii", "replace")
                 )
+        elif user_id == "laszip encoded" and rec_id == 22204:
+            laszip_vlr = body
         pos += 54 + rlen
 
     want = HDR_FMT0_LEN + 8 * len(extra_names)
@@ -181,8 +196,27 @@ def read_las(blob: bytes):
             f"record length {rec_len} != format0 + {len(extra_names)} "
             f"double extra dims ({want})"
         )
-    dt = _point_dtype(len(extra_names), extra_names)
-    pts = np.frombuffer(blob, dtype=dt, count=n, offset=pt_offset)
+    if blob[104] & 0xC0:  # LAZ: compressed-format bit(s) set
+        if laszip_vlr is None:
+            raise LasFormatError(
+                "compressed point format without a laszip VLR"
+            )
+        from .laz import decompress_blob, parse_laszip_vlr
+
+        info = parse_laszip_vlr(laszip_vlr)
+        if info["compressor"] != 2 or info["coder"] != 0:
+            raise LasFormatError(
+                f"unsupported LAZ compressor/coder "
+                f"{info['compressor']}/{info['coder']}"
+            )
+        pts = decompress_blob(blob[pt_offset:], extra_names)
+        if len(pts) != n:
+            raise LasFormatError(
+                f"LAZ chunk table holds {len(pts)} points, header says {n}"
+            )
+    else:
+        dt = _point_dtype(len(extra_names), extra_names)
+        pts = np.frombuffer(blob, dtype=dt, count=n, offset=pt_offset)
     out = {
         "x": pts["X"].astype(np.float64) * sx + ox,
         "y": pts["Y"].astype(np.float64) * sy + oy,
