@@ -21,7 +21,10 @@ through ``spark.read.format("binaryFile")`` + ``mapInPandas``: a
 visits the driver. LAZ (compressed, run_test_v1.py:44) is handled by
 sources/laz.py — a from-scratch LASzip-architecture codec (chunked
 arithmetic coding; see its docstring for the faithfulness statement)
-— and routes through the same reader automatically.
+— and routes through the same reader automatically. For one GIANT
+.laz (where file-level tasks can't parallelize), laz.py's laz_table
+scans chunk SPLITS instead — parquet-row-group-style planning over
+the chunk table, point bytes never read during planning.
 """
 
 from __future__ import annotations
@@ -142,28 +145,29 @@ def _point_dtype(n_extra: int, names: list[str]) -> np.dtype:
     return np.dtype(fields)
 
 
-def read_las(blob: bytes):
-    """Parse LAS 1.2-1.4 / format 0 (+ double extra bytes) ->
-    pandas.DataFrame with x, y, z (descaled float64) and one float64
-    column per extra-byte dim, in file order."""
-    import pandas as pd
+def parse_las_layout(head: bytes) -> dict:
+    """Header + VLR walk shared by the whole-blob reader and the
+    chunk-split LAZ scan (laz.py). ``head`` needs only the bytes up to
+    the point block (headers + VLRs are a few KB; 64 KB is plenty).
 
-    if len(blob) < 227 or blob[0:4] != b"LASF":
+    Returns n, pt_offset, scales/offsets, extra_names, the laszip VLR
+    body (or None) and the compressed flag."""
+    if len(head) < 227 or head[0:4] != b"LASF":
         raise LasFormatError("not a LAS blob")
-    vmaj, vmin = blob[24], blob[25]
+    vmaj, vmin = head[24], head[25]
     if vmaj != 1 or vmin not in (1, 2, 3, 4):
         raise LasFormatError(f"unsupported LAS version {vmaj}.{vmin}")
-    (header_size,) = struct.unpack_from("<H", blob, 94)
-    (pt_offset,) = struct.unpack_from("<I", blob, 96)
-    (n_vlr,) = struct.unpack_from("<I", blob, 100)
-    fmt = blob[104] & 0x3F  # LAZ sets the two high bits; we reject below
-    (rec_len,) = struct.unpack_from("<H", blob, 105)
-    (n_legacy,) = struct.unpack_from("<I", blob, 107)
-    sx, sy, sz = struct.unpack_from("<3d", blob, 131)
-    ox, oy, oz = struct.unpack_from("<3d", blob, 155)
+    (header_size,) = struct.unpack_from("<H", head, 94)
+    (pt_offset,) = struct.unpack_from("<I", head, 96)
+    (n_vlr,) = struct.unpack_from("<I", head, 100)
+    fmt = head[104] & 0x3F  # LAZ sets the two high bits
+    (rec_len,) = struct.unpack_from("<H", head, 105)
+    (n_legacy,) = struct.unpack_from("<I", head, 107)
+    sx, sy, sz = struct.unpack_from("<3d", head, 131)
+    ox, oy, oz = struct.unpack_from("<3d", head, 155)
     n = n_legacy
     if n == 0 and vmin == 4 and header_size >= 375:
-        (n,) = struct.unpack_from("<Q", blob, 247)
+        (n,) = struct.unpack_from("<Q", head, 247)
     if fmt != 0:
         raise LasFormatError(f"only point format 0 supported (got {fmt})")
 
@@ -172,10 +176,10 @@ def read_las(blob: bytes):
     laszip_vlr: bytes | None = None
     pos = header_size
     for _ in range(n_vlr):
-        user_id = blob[pos + 2 : pos + 18].rstrip(b"\x00").decode("ascii",
+        user_id = head[pos + 2 : pos + 18].rstrip(b"\x00").decode("ascii",
                                                                   "replace")
-        rec_id, rlen = struct.unpack_from("<HH", blob, pos + 18)
-        body = blob[pos + 54 : pos + 54 + rlen]
+        rec_id, rlen = struct.unpack_from("<HH", head, pos + 18)
+        body = head[pos + 54 : pos + 54 + rlen]
         if user_id == "LASF_Spec" and rec_id == 4:
             for k in range(len(body) // 192):
                 d = body[k * 192 : (k + 1) * 192]
@@ -196,14 +200,33 @@ def read_las(blob: bytes):
             f"record length {rec_len} != format0 + {len(extra_names)} "
             f"double extra dims ({want})"
         )
-    if blob[104] & 0xC0:  # LAZ: compressed-format bit(s) set
-        if laszip_vlr is None:
+    return {
+        "n": n, "pt_offset": pt_offset, "rec_len": rec_len,
+        "scale": (sx, sy, sz), "offset": (ox, oy, oz),
+        "extra_names": extra_names, "laszip_vlr": laszip_vlr,
+        "compressed": bool(head[104] & 0xC0),
+    }
+
+
+def read_las(blob: bytes):
+    """Parse LAS 1.2-1.4 / format 0 (+ double extra bytes) ->
+    pandas.DataFrame with x, y, z (descaled float64) and one float64
+    column per extra-byte dim, in file order."""
+    import pandas as pd
+
+    lay = parse_las_layout(blob)
+    n, pt_offset = lay["n"], lay["pt_offset"]
+    sx, sy, sz = lay["scale"]
+    ox, oy, oz = lay["offset"]
+    extra_names = lay["extra_names"]
+    if lay["compressed"]:
+        if lay["laszip_vlr"] is None:
             raise LasFormatError(
                 "compressed point format without a laszip VLR"
             )
         from .laz import decompress_blob, parse_laszip_vlr
 
-        info = parse_laszip_vlr(laszip_vlr)
+        info = parse_laszip_vlr(lay["laszip_vlr"])
         if info["compressor"] != 2 or info["coder"] != 0:
             raise LasFormatError(
                 f"unsupported LAZ compressor/coder "

@@ -518,6 +518,131 @@ def write_laz(x: np.ndarray, y: np.ndarray, z: np.ndarray,
     return hdr + vlrs + compress_blob(pts, list(extra), chunk_size)
 
 
+def laz_table(spark, path: str, tasks: int | None = None):
+    """Chunk-SPLIT distributed LAZ scan -> the engine points table.
+
+    ``las_table`` (las.py) decodes one whole FILE per task — right for
+    10^4-file collections, wrong for one giant cloud: a single 10^9-
+    point .laz would decode on one worker. This scan treats each LAZ
+    chunk as a split, exactly like parquet row groups: stage 1 is a
+    tiny planning job that reads ONLY each file's header + chunk table
+    (ranged reads — the point bytes are never touched), stage 2
+    repartitions the split list and decodes byte ranges in parallel.
+    Chunks are independent by LASzip design (that is why LASzip
+    chunks), so a lone multi-GB file saturates the cluster.
+
+    point_id matches las_table's contract: global position under
+    (path lexicographic, in-file) order, stable across re-reads."""
+    import json
+
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .las import EB_NAME_MAP, LAS_POINTS_SCHEMA, parse_las_layout
+
+    def _local(p: str) -> str:
+        return p[5:] if p.startswith("file:") else p
+
+    SPLIT_SCHEMA = (
+        "path string, start long, nbytes long, count long, gid0 long, "
+        "sx double, sy double, sz double, ox double, oy double, "
+        "oz double, extras string"
+    )
+
+    def plan(batches):
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                with open(_local(r["path"]), "rb") as f:
+                    lay = parse_las_layout(f.read(65536))
+                    if not lay["compressed"] or lay["laszip_vlr"] is None:
+                        raise LasFormatError(
+                            f"{r['path']}: not a LAZ blob (use las_table)"
+                        )
+                    info = parse_laszip_vlr(lay["laszip_vlr"])
+                    if info["compressor"] != 2 or info["coder"] != 0:
+                        raise LasFormatError(
+                            f"unsupported LAZ compressor/coder "
+                            f"{info['compressor']}/{info['coder']}"
+                        )
+                    pt_off = lay["pt_offset"]
+                    f.seek(pt_off)
+                    (table_off,) = struct.unpack("<q", f.read(8))
+                    f.seek(pt_off + table_off)
+                    ver, n_chunks = struct.unpack("<II", f.read(8))
+                    if ver != 0:
+                        raise LasFormatError(
+                            f"unknown chunk-table version {ver}"
+                        )
+                    tbl = np.frombuffer(
+                        f.read(8 * n_chunks), dtype="<u4"
+                    ).reshape(n_chunks, 2).astype(np.int64)
+                counts, sizes = tbl[:, 0], tbl[:, 1]
+                if int(counts.sum()) != lay["n"]:
+                    raise LasFormatError(
+                        f"{r['path']}: chunk table holds "
+                        f"{int(counts.sum())} points, header says "
+                        f"{lay['n']}"
+                    )
+                starts = pt_off + 8 + np.concatenate(
+                    ([0], np.cumsum(sizes[:-1])))
+                gid0 = np.concatenate(([0], np.cumsum(counts[:-1])))
+                sx, sy, sz = lay["scale"]
+                ox, oy, oz = lay["offset"]
+                yield pd.DataFrame({
+                    "path": r["path"], "start": starts, "nbytes": sizes,
+                    "count": counts, "gid0": gid0,
+                    "sx": sx, "sy": sy, "sz": sz,
+                    "ox": ox, "oy": oy, "oz": oz,
+                    "extras": json.dumps(lay["extra_names"]),
+                })
+
+    files = spark.read.format("binaryFile").load(path)
+    # content is pruned away — the planning job moves paths, not bytes
+    splits = files.select("path").mapInPandas(plan, SPLIT_SCHEMA)
+    # per-file global-id offsets: total counts of lexicographically
+    # earlier files (tiny aggregate over the split list, never points)
+    w = Window.orderBy("path").rowsBetween(Window.unboundedPreceding, -1)
+    file_offs = (
+        splits.groupBy("path").agg(F.sum("count").alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(w), F.lit(0)))
+        .select("path", "_off")
+    )
+    splits = (
+        splits.join(F.broadcast(file_offs), "path")
+        .withColumn("gid0", F.col("gid0") + F.col("_off")).drop("_off")
+        .localCheckpoint(eager=True)  # plan once; also fixes n_splits
+    )
+    n_splits = splits.count()
+    if n_splits == 0:
+        return spark.createDataFrame([], LAS_POINTS_SCHEMA)
+
+    def decode(batches):
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                with open(_local(r["path"]), "rb") as f:
+                    f.seek(int(r["start"]))
+                    buf = f.read(int(r["nbytes"]))
+                names = json.loads(r["extras"])
+                pts = decompress_chunk(buf, int(r["count"]), names)
+                out = {
+                    "point_id": int(r["gid0"]) + np.arange(
+                        len(pts), dtype=np.int64),
+                    "x": pts["X"].astype(np.float64) * r["sx"] + r["ox"],
+                    "y": pts["Y"].astype(np.float64) * r["sy"] + r["oy"],
+                    "z": pts["Z"].astype(np.float64) * r["sz"] + r["oz"],
+                }
+                for nm in names:
+                    out[EB_NAME_MAP.get(nm, nm)] = pts[nm].astype(
+                        np.float64)
+                yield pd.DataFrame(out)
+
+    # fixed, bounded task count (CLAUDE.md granularity invariant);
+    # round-robin so consecutive heavy chunks spread across tasks
+    return splits.repartition(min(64, n_splits)).mapInPandas(
+        decode, LAS_POINTS_SCHEMA)
+
+
 def decompress_blob(buf: bytes, extra_names: list[str]) -> np.ndarray:
     (table_off,) = struct.unpack_from("<q", buf, 0)
     ver, n_chunks = struct.unpack_from("<II", buf, table_off)
@@ -530,4 +655,7 @@ def decompress_blob(buf: bytes, extra_names: list[str]) -> np.ndarray:
         parts.append(decompress_chunk(buf[pos:pos + clen], cnt,
                                       extra_names))
         pos += clen
-    return np.concatenate(parts) if parts else parts
+    if not parts:
+        return np.zeros(0, dtype=_point_dtype(len(extra_names),
+                                              extra_names))
+    return np.concatenate(parts)

@@ -102,6 +102,36 @@ def test_laz_without_vlr_rejected():
         read_las(bytes(blob))
 
 
+def test_laz_table_chunk_splits_match_whole_file(spark, tmp_path):
+    """laz_table decodes chunk SPLITS in parallel (one giant .laz must
+    not serialize onto one worker); its table must equal las_table's
+    whole-file decode row-for-row, including global point_id order
+    across multiple files."""
+    from gpiv_spark.sources.las import las_table
+    from gpiv_spark.sources.laz import laz_table
+
+    for seed, fname in ((5, "a.laz"), (9, "b.laz")):
+        n = 700
+        x, y, z = _cloud(n, seed=seed)
+        (tmp_path / fname).write_bytes(
+            write_laz(x, y, z, _tpu(n, seed=seed), chunk_size=150))
+    whole = las_table(spark, str(tmp_path)).toPandas().sort_values(
+        "point_id").reset_index(drop=True)
+    split = laz_table(spark, str(tmp_path)).toPandas().sort_values(
+        "point_id").reset_index(drop=True)
+    assert len(split) == 1400
+    pd.testing.assert_frame_equal(split, whole)
+
+
+def test_laz_table_rejects_uncompressed(spark, tmp_path):
+    from gpiv_spark.sources.laz import laz_table
+
+    x, y, z = _cloud(20)
+    (tmp_path / "plain.las").write_bytes(write_las(x, y, z))
+    with pytest.raises(Exception, match="not a LAZ blob"):
+        laz_table(spark, str(tmp_path)).count()
+
+
 def test_las_table_reads_laz_and_las_mixed(spark, tmp_path):
     """The Spark S1 path treats .laz like .las: same binaryFile +
     mapInPandas decode, one task per file, identical table out."""
