@@ -175,7 +175,7 @@ def _kring_sql(d) -> str:
     """
 
 
-@register("knn_kring", _kring_sql(DUCKDB))
+@register("knn_kring", _kring_sql(DUCKDB), gate=False)  # r5: cell-bounded math subsumed by the gated knn_kring_adaptive (+ completeness bound); slot freed for decontam_flags
 def q_knn_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_both(spark, sf_dir, _kring_sql(SPARK))
 

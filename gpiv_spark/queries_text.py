@@ -294,6 +294,66 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_both(spark, sf_dir, _jaccard_sql(SPARK))
 
 
+# --- benchmark decontamination: eval-set n-gram hit flags ----------------------
+#
+# The training-pipeline op the dedup family does NOT cover: before a
+# corpus trains anything, documents sharing n-grams with an evaluation
+# set must be flagged (decontamination). The eval set here is a
+# deterministic held-out slice of the corpus itself (doc_id % 101 = 0
+# — no external data, per the driver's input rule); production swaps
+# in the real benchmark suite. Shape at 100 TB: the eval shingle set
+# is metadata-sized next to the corpus, so Catalyst broadcasts it and
+# the scan stays map-side; counts are int64 — the oracle is bit-exact.
+
+_EVAL_MOD = 101
+_DECONTAM_MIN_HITS = 3
+
+
+def _decontam_sql(d) -> str:
+    if d.name == "spark":
+        # Spark's sequence(1, 0) is DESCENDING ([1, 0]), not empty like
+        # DuckDB's range — docs under 3 tokens must be filtered, not
+        # clamped
+        src = (
+            "SELECT doc_id, explode(transform("
+            " sequence(1, size(split(text,' ')) - 2),"
+            " i -> concat_ws(' ', element_at(split(text,' '), i),"
+            " element_at(split(text,' '), i+1),"
+            " element_at(split(text,' '), i+2)))) AS s"
+            " FROM documents WHERE size(split(text,' ')) >= 3"
+        )
+    else:
+        src = (
+            "SELECT doc_id, unnest(list_transform("
+            " range(1, len(string_split(text,' ')) - 1),"
+            " i -> string_split(text,' ')[i] || ' ' ||"
+            " string_split(text,' ')[i+1] || ' ' ||"
+            " string_split(text,' ')[i+2])) AS s"
+            " FROM documents WHERE len(string_split(text,' ')) >= 3"
+        )
+    return f"""
+    WITH sh AS ({src}),
+    eval_sh AS (
+      SELECT DISTINCT s FROM sh WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    hits AS (
+      SELECT sh.doc_id, COUNT(DISTINCT sh.s) AS n_hits
+      FROM sh JOIN eval_sh ON sh.s = eval_sh.s
+      WHERE sh.doc_id % {_EVAL_MOD} <> 0
+      GROUP BY sh.doc_id
+    )
+    SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(CASE WHEN n_hits >= {_DECONTAM_MIN_HITS} THEN 1 ELSE 0 END
+                AS BIGINT) AS contaminated
+    FROM hits
+    """
+
+
+@register("decontam_flags", _decontam_sql(DUCKDB))
+def q_decontam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_both(spark, sf_dir, _decontam_sql(SPARK))
+
+
 # --- embedding cosine top-k (brute-force exact baseline) -----------------------
 
 _TOPK = 5
