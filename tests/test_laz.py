@@ -123,6 +123,20 @@ def test_laz_table_chunk_splits_match_whole_file(spark, tmp_path):
     pd.testing.assert_frame_equal(split, whole)
 
 
+def test_laz_planning_scan_prunes_content(spark, tmp_path):
+    """laz_table's planning stage claims 'paths, not bytes': the
+    binaryFile scan under the split-planning mapInPandas must prune
+    the content column away (the workers open+seek the files
+    themselves; Spark should never materialize the blobs)."""
+    x, y, z = _cloud(60)
+    (tmp_path / "c.laz").write_bytes(write_laz(x, y, z, chunk_size=25))
+    files = spark.read.format("binaryFile").load(str(tmp_path))
+    plan = files.select("path")._sc._jvm.PythonSQLUtils.explainString(
+        files.select("path")._jdf.queryExecution(), "formatted"
+    )
+    assert "content" not in plan, plan
+
+
 def test_laz_table_rejects_uncompressed(spark, tmp_path):
     from gpiv_spark.sources.laz import laz_table
 
