@@ -56,7 +56,8 @@ PACK_TASKS = 128
 
 def fan_out_points(spark: SparkSession, points: DataFrame, cell_res: int,
                    halo_m: float | None = None,
-                   extra_cols: tuple[str, ...] = ()) -> DataFrame:
+                   extra_cols: tuple[str, ...] = (),
+                   edge_halo_m: float | None = None) -> DataFrame:
     """Replicate each point into its Z-order cell + the neighbor cells
     within ``halo_m`` metres (None = the full 8-neighbor ring).
 
@@ -65,22 +66,35 @@ def fan_out_points(spark: SparkSession, points: DataFrame, cell_res: int,
     margin of a few mean point spacings keeps the fan-out factor near
     1 + 4*halo/cell instead of the naive 9x (which made the build
     memory-bound rather than compute-bound).
+
+    ``edge_halo_m`` (default: same as ``halo_m``) is the halo used for
+    fan-in to cells on the extent boundary: hull slivers there have
+    circumcircles running along the data edge, so those cells need a
+    wider margin than the interior for the certificate to pass without
+    a retry pass (see build_broadcast_pack).
     """
     n = 1 << cell_res
     csize = _EXT / n
     if halo_m is None:
         halo_m = csize  # degenerate: full neighbor ring
+    if edge_halo_m is None:
+        edge_halo_m = halo_m
     neigh = spark.createDataFrame(
         [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)], "dr int, dc int"
     )
     # offset of the point inside its home cell, in metres
     fx = f"((x - {_X0!r}) - _ix * {csize!r})"
     fy = f"((y - {_Y0!r}) - _iy * {csize!r})"
+    # halo of the TARGET cell (_ix+dc, _iy+dr): extent-boundary cells
+    # use the wider edge margin
+    h = (f"(CASE WHEN (_ix + dc) IN (0, {n - 1})"
+         f" OR (_iy + dr) IN (0, {n - 1})"
+         f" THEN {edge_halo_m!r} ELSE {halo_m!r} END)")
     keep = (
-        f"(dc = 0 OR (dc = -1 AND {fx} < {halo_m!r})"
-        f" OR (dc = 1 AND {csize!r} - {fx} < {halo_m!r}))"
-        f" AND (dr = 0 OR (dr = -1 AND {fy} < {halo_m!r})"
-        f" OR (dr = 1 AND {csize!r} - {fy} < {halo_m!r}))"
+        f"(dc = 0 OR (dc = -1 AND {fx} < {h})"
+        f" OR (dc = 1 AND {csize!r} - {fx} < {h}))"
+        f" AND (dr = 0 OR (dr = -1 AND {fy} < {h})"
+        f" OR (dr = 1 AND {csize!r} - {fy} < {h}))"
     )
     return (
         points.withColumn("_ix", F.expr(
@@ -374,13 +388,16 @@ def build_triangle_ids(spark: SparkSession, points: DataFrame,
     )
 
 
-PACK_BLOB_SCHEMA = "cell long, n_pts long, n_tri long, n_pairs long, payload binary"
+PACK_BLOB_SCHEMA = ("cell long, n_pts long, n_tri long, n_pairs long, "
+                    "n_uncert long, n_outside long, payload binary")
 
 
 def build_pack_blobs(spark: SparkSession, points: DataFrame,
                      cell_res: int = 4, index_res: int = 9,
                      halo_m: float | None = None,
-                     id_col: str = "point_id") -> DataFrame:
+                     id_col: str = "point_id",
+                     only_cells: list[int] | None = None,
+                     edge_halo_m: float | None = None) -> DataFrame:
     """Distributed pack build: one kernel call per coarse cell does the
     local Delaunay AND packs its shard of the broadcast index — owned
     points (no dedupe: any pid a neighbor cell's triangle references
@@ -397,7 +414,15 @@ def build_pack_blobs(spark: SparkSession, points: DataFrame,
     nf = 1 << index_res
     fs = _EXT / nf
     csize = _EXT / n
-    pts = fan_out_points(spark, points, cell_res, halo_m, extra_cols=(id_col,))
+    halo_eff = csize if halo_m is None else halo_m
+    edge_eff = halo_eff if edge_halo_m is None else edge_halo_m
+    pts = fan_out_points(spark, points, cell_res, halo_m,
+                         extra_cols=(id_col,), edge_halo_m=edge_halo_m)
+    if only_cells is not None:
+        # certify-retry path: re-derive just these cells' shards (the
+        # filter sits before the exchange, so only their fan-in rows
+        # shuffle)
+        pts = pts.filter(F.col("cell").isin([int(c) for c in only_cells]))
 
     def _cell_blob(key, pdf):
         import numpy as _np
@@ -429,12 +454,63 @@ def build_pack_blobs(spark: SparkSession, points: DataFrame,
         p = ddf[["x", "y"]].to_numpy(_np.float64)
         pid = ddf[id_col].to_numpy(_np.int64)
         tri = dl.delaunay(p) if len(p) >= 3 else _np.empty((0, 3), _np.int64)
+        n_uncert = 0
+        # strays outside the nominal extent, counted on OWNED points so
+        # the per-cell sums add up to the global count (ownership is a
+        # partition); any stray voids the certificate's bbox clamp
+        n_outside = int((
+            (shard["px"] < _X0) | (shard["px"] >= _X0 + _EXT)
+            | (shard["py"] < _Y0) | (shard["py"] >= _Y0 + _EXT)
+        ).sum())
         if len(tri):
             cen_x = p[tri, 0].mean(axis=1)
             cen_y = p[tri, 1].mean(axis=1)
             own = ((cen_x >= x_lo) & (cen_x < x_hi)
                    & (cen_y >= y_lo) & (cen_y < y_hi))
             tri = tri[own]
+        if len(tri):
+            # Halo-sufficiency certificate (distributed-Delaunay
+            # soundness): an owned triangle provably belongs to the
+            # GLOBAL Delaunay iff its circumcircle is empty of points
+            # this kernel never saw — i.e. the circle, restricted to
+            # where points can exist, fits inside cell + halo band.
+            # "Where points can exist" is the nominal data bbox
+            # [X0, X0+EXT]^2, valid only when no point lies outside it
+            # (the kernel counts strays in n_outside; the driver must
+            # see zero before trusting bbox-clamped counts). Hull
+            # slivers have huge circumcircles bulging OUTSIDE the bbox
+            # — the clamp uses the true chord extent so they certify.
+            # Coordinates are centered on the cell before the
+            # circumcircle math: at UTM magnitudes the squares lose
+            # ~13 digits to cancellation (see functions/delaunay.py).
+            ccx0, ccy0 = 0.5 * (x_lo + x_hi), 0.5 * (y_lo + y_hi)
+            pc = p - _np.array([[ccx0, ccy0]])
+            cc, r2 = dl._circumcircles(pc, tri)
+            r = _np.sqrt(r2)
+            on_edge = cx in (0, n - 1) or cy in (0, n - 1)
+            half = 0.5 * csize + (edge_eff if on_edge else halo_eff)
+            # data bbox in cell-centered coords
+            bx_lo, bx_hi = _X0 - ccx0, _X0 + _EXT - ccx0
+            by_lo, by_hi = _Y0 - ccy0, _Y0 + _EXT - ccy0
+            # true extent of (circle ∩ bbox): chord half-length at
+            # horizontal/vertical distance h from the center to the
+            # bbox's x/y-interval (0 when the center is inside it)
+            hx = _np.maximum(0.0, _np.maximum(bx_lo - cc[:, 0],
+                                              cc[:, 0] - bx_hi))
+            hy = _np.maximum(0.0, _np.maximum(by_lo - cc[:, 1],
+                                              cc[:, 1] - by_hi))
+            chord_y = _np.sqrt(_np.maximum(0.0, r2 - hx * hx))
+            chord_x = _np.sqrt(_np.maximum(0.0, r2 - hy * hy))
+            ok = _np.ones(len(tri), dtype=bool)
+            if cx > 0:
+                ok &= _np.maximum(cc[:, 0] - chord_x, bx_lo) >= -half
+            if cx < n - 1:
+                ok &= _np.minimum(cc[:, 0] + chord_x, bx_hi) <= half
+            if cy > 0:
+                ok &= _np.maximum(cc[:, 1] - chord_y, by_lo) >= -half
+            if cy < n - 1:
+                ok &= _np.minimum(cc[:, 1] + chord_y, by_hi) <= half
+            n_uncert = int((~ok).sum())
         shard["tri_id"] = (cell * (1 << 24)
                            + _np.arange(len(tri), dtype=_np.int64))
         for k in range(3):
@@ -471,6 +547,8 @@ def build_pack_blobs(spark: SparkSession, points: DataFrame,
                 "n_pts": [len(shard["pid"])],
                 "n_tri": [len(tri)],
                 "n_pairs": [len(shard["pair_icell"])],
+                "n_uncert": [n_uncert],
+                "n_outside": [n_outside],
                 "payload": [pickle.dumps(shard, protocol=4)],
             }
         )
@@ -556,11 +634,79 @@ def merge_pack_blobs(blob_rows, index_res: int) -> dict:
 def build_broadcast_pack(spark: SparkSession, points: DataFrame,
                          cell_res: int = 4, index_res: int = 9,
                          halo_m: float | None = None,
-                         id_col: str = "point_id"):
-    """points -> distributed Delaunay+pack -> merged pack -> Broadcast."""
+                         id_col: str = "point_id", certify: bool = False):
+    """points -> distributed Delaunay+pack -> merged pack -> Broadcast.
+
+    ``certify=True`` enforces the per-triangle halo-sufficiency
+    certificate and REPAIRS failures: cells with uncertified owned
+    triangles (in practice a handful of hull-edge cells whose sliver
+    circumcircles run along the data boundary) are rebuilt with a
+    doubled halo — only their fan-in rows reshuffle — until every
+    owned triangle certifies. This is what makes a density-adaptive
+    halo safe: the fixed-metre default is wasteful on dense clouds and
+    silently insufficient on sparse ones. The certificate guarantees
+    every EMITTED triangle is globally Delaunay (soundness);
+    completeness of the thin band between the local and global convex
+    hulls is not claimed (F4 hull-membership probes there return NULL
+    either way).
+    """
+    csize = _EXT / (1 << cell_res)
+    if not certify:
+        blobs = build_pack_blobs(spark, points, cell_res, index_res,
+                                 halo_m, id_col)
+        pack = merge_pack_blobs(blobs.toArrow(), index_res)
+        return spark.sparkContext.broadcast(pack)
+
+    # extent-boundary cells get 4x the halo up front: hull slivers
+    # along the data edge are where the certificate fails in practice,
+    # and paying their wider fan-in immediately beats a whole extra
+    # retry job (capped at csize — the 8-ring's reach).
+    base_halo = csize if halo_m is None else halo_m
     blobs = build_pack_blobs(spark, points, cell_res, index_res, halo_m,
-                             id_col)
-    pack = merge_pack_blobs(blobs.toArrow(), index_res)
+                             id_col,
+                             edge_halo_m=min(4.0 * base_halo, csize))
+    arr = blobs.toArrow()
+
+    strays = int(sum(arr.column("n_outside").to_pylist()))
+    if strays:
+        raise ValueError(
+            f"{strays} points lie outside the nominal extent: the "
+            "certificate's bbox clamp is unsound for this cloud — "
+            "re-extent the data or pass halo_m=None")
+    payload_by_cell = dict(zip(arr.column("cell").to_pylist(),
+                               arr.column("payload").to_pylist()))
+    failed = [c for c, u in zip(arr.column("cell").to_pylist(),
+                                arr.column("n_uncert").to_pylist()) if u]
+    # halo caps at csize: fan_out_points only reaches the 8-neighbor
+    # ring, so a larger claimed halo would certify against points the
+    # kernel never actually saw (unsound).
+    halo_r = min(4.0 * base_halo, csize)
+    tried_full_ring = False
+    while failed and not tried_full_ring:
+        halo_r = min(2.0 * halo_r, csize)
+        tried_full_ring = halo_r >= csize
+        retry = build_pack_blobs(spark, points, cell_res, index_res,
+                                 halo_r, id_col, only_cells=failed,
+                                 edge_halo_m=halo_r).toArrow()
+        payload_by_cell.update(zip(retry.column("cell").to_pylist(),
+                                   retry.column("payload").to_pylist()))
+        failed = [c for c, u in zip(retry.column("cell").to_pylist(),
+                                    retry.column("n_uncert").to_pylist())
+                  if u]
+    if failed:
+        # Even the full ring can't certify: the cloud is too sparse for
+        # this grid (circumcircles reach beyond adjacent cells).
+        # Coarsen and rebuild — at cell_res=0 there is a single cell
+        # that sees everything, so this terminates with a certificate.
+        if cell_res > 0:
+            return build_broadcast_pack(spark, points, cell_res - 1,
+                                        index_res, halo_m, id_col,
+                                        certify=True)
+        raise ValueError(
+            f"halo certificate still failing for cells {failed[:8]} at "
+            f"the full-ring halo ({halo_r:.1f} m) on a single-cell grid")
+    pack = merge_pack_blobs(
+        [{"payload": b} for b in payload_by_cell.values()], index_res)
     return spark.sparkContext.broadcast(pack)
 
 
