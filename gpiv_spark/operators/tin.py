@@ -596,38 +596,47 @@ def merge_pack_blobs(blob_rows, index_res: int) -> dict:
     hi = int(pid_sorted[-1]) if len(pid_sorted) else 0
     dense = len(pid_sorted) > 0 and (hi - lo + 1) <= 4 * len(pid_sorted)
     if dense:
-        inv_pid = np.empty(hi - lo + 1, dtype=np.int64)
-        inv_pid[pid_sorted - lo] = np.arange(len(pid_sorted))
+        # int32 table: the gather then lands in tv's dtype directly
+        # (no 3 int64->int32 astype passes over 3n rows)
+        inv_pid = np.empty(hi - lo + 1, dtype=np.int32)
+        inv_pid[pid_sorted - lo] = np.arange(len(pid_sorted),
+                                             dtype=np.int32)
     tv = np.empty((len(torder), 3), dtype=np.int32)
     for k in range(3):
         vk = cat(f"v{k + 1}", np.int64)[torder]
         if dense:
-            tv[:, k] = inv_pid[vk - lo].astype(np.int32)
+            tv[:, k] = inv_pid[vk - lo]
         else:
             tv[:, k] = np.searchsorted(pid_sorted, vk).astype(np.int32)
     pack["tv"] = tv
-    vx = pack["px"][tv]
-    vy = pack["py"][tv]
     for k in range(3):
-        pack[f"x{k + 1}"] = np.ascontiguousarray(vx[:, k])
-        pack[f"y{k + 1}"] = np.ascontiguousarray(vy[:, k])
+        # direct per-column gathers: building an (m,3) temp and copying
+        # slices out doubled the traffic on this 3-6M-triangle phase
+        pack[f"x{k + 1}"] = pack["px"][tv[:, k]]
+        pack[f"y{k + 1}"] = pack["py"][tv[:, k]]
 
-    # pairs reference blob-local triangle rows; lift to global sorted rows
-    tinv = np.empty(len(torder), dtype=np.int64)
-    tinv[torder] = np.arange(len(torder))
-    bases = np.cumsum([0] + [len(s["tri_id"]) for s in shards[:-1]])
+    # pairs reference blob-local triangle rows; lift to global sorted
+    # rows (int32 throughout: triangle counts are < 2^31 by the pack's
+    # own tri_id layout, and halving the bandwidth matters at 10^7 pairs)
+    tinv = np.empty(len(torder), dtype=np.int32)
+    tinv[torder] = np.arange(len(torder), dtype=np.int32)
+    bases = np.cumsum([0] + [len(s["tri_id"]) for s in shards[:-1]],
+                      dtype=np.int64)
     pair_tri = np.concatenate(
-        [s["pair_tri"].astype(np.int64) + b for s, b in zip(shards, bases)]
+        [s["pair_tri"].astype(np.int32) + np.int32(b)
+         for s, b in zip(shards, bases)]
     )
     pair_tri = tinv[pair_tri]
     pair_icell = cat("pair_icell", np.int64)
     # icell-major, tri-row-minor: the probe's reversed scan then picks
     # the LOWEST tri row (= min tri_id) per doc, same as the old pack.
-    # composite int64 key = one sort instead of lexsort's two
-    porder = np.argsort((pair_icell << 32) | pair_tri, kind="stable")
+    # composite int64 key = one sort instead of lexsort's two; keys are
+    # unique ((tri, icell) covering pairs never repeat), so the
+    # default introsort gives the same order as a stable sort
+    porder = np.argsort((pair_icell << 32) | pair_tri)
     counts = np.bincount(pair_icell, minlength=nf * nf)
     pack["offsets"] = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-    pack["cell_tri"] = pair_tri[porder].astype(np.int32)
+    pack["cell_tri"] = pair_tri[porder]
     return pack
 
 
