@@ -906,7 +906,8 @@ def main() -> None:
         "TIN containment + Jacobian error propagation (E3), "
         "shuffle-free doc path (mapInPandas probe); the TIN index is "
         "built DISTRIBUTED (per-cell pack blobs, driver only "
-        "concatenates)\n"
+        "concatenates) with a density-adaptive CERTIFIED halo "
+        "(per-triangle circumcircle-in-region proof, see BASELINE.md)\n"
         "- protocol: each level runs in a child process with CPU "
         "affinity pinned to exactly N cores before the JVM starts. "
         "local[N] alone only caps JVM task slots; Python UDF workers "
