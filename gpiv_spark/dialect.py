@@ -64,6 +64,11 @@ class Dialect:
         identically."""
         raise NotImplementedError
 
+    def regex_replace_all(self, x: str, pattern: str, rep: str) -> str:
+        """Replace EVERY match (Spark's default; DuckDB needs 'g').
+        Same pattern-subset rule as regex_matches."""
+        raise NotImplementedError
+
     def list_len(self, lst: str) -> str:
         raise NotImplementedError
 
@@ -108,6 +113,9 @@ class SparkDialect(Dialect):
     def regex_matches(self, x, pattern):
         return f"regexp_extract_all({x}, '{pattern}', 0)"
 
+    def regex_replace_all(self, x, pattern, rep):
+        return f"regexp_replace({x}, '{pattern}', '{rep}')"
+
     def list_len(self, lst):
         return f"size({lst})"
 
@@ -151,6 +159,9 @@ class DuckDialect(Dialect):
 
     def regex_matches(self, x, pattern):
         return f"regexp_extract_all({x}, '{pattern}')"
+
+    def regex_replace_all(self, x, pattern, rep):
+        return f"regexp_replace({x}, '{pattern}', '{rep}', 'g')"
 
     def list_len(self, lst):
         return f"len({lst})"

@@ -255,7 +255,11 @@ def _pipc_spark_sql() -> str:
     """
 
 
-@register("pip_cells", _pipc_oracle(DUCKDB))
+# gate=False (round 5): PIP twin — the containment math stays
+# gate-verified every round by pip_triangles and the TIN kernels;
+# rotated out to gate pii_scrub (rotation policy, CLAUDE.md). Still
+# verified by tools/check_oracles.py + tests/test_retired_oracles.py.
+@register("pip_cells", _pipc_oracle(DUCKDB), gate=False)
 def q_pip_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_both(spark, sf_dir, _pipc_spark_sql())
 

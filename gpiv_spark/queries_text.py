@@ -170,6 +170,65 @@ def q_lang_id_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_both(spark, sf_dir, _planted_sql(SPARK))
 
 
+# --- pii_scrub: detection + redaction over planted PII -----------------------
+# A 100-TB training corpus must be scrubbed of emails/phones/IPs before
+# the tokenizer sees it. The testdata text is clean lowercase words, so
+# (as with lang_id_planted) the PII is PLANTED deterministically from
+# doc_id — identical construction in both dialects, closed-form
+# expected counts, so the detectors are falsifiable
+# (tests/test_pii_planted.py demands per-class accuracy 1.0). Patterns
+# stay in the bracket-class subset Java regex and RE2 parse AND match
+# identically ([.] instead of escapes; maximal-munch classes agree
+# between leftmost-first and leftmost-longest engines). Map-side only:
+# one scan, no shuffle, JVM-side regex — the redacted length replays
+# the substitutions so the gate hash covers the rewrite, not just the
+# counts.
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+_PII_PHONE = "[+][0-9][0-9 -]+[0-9]"
+_PII_IPV4 = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+
+_PII_PLANTS = [
+    # (modulus, arm SQL by doc_id % 2 — finite literals, no casts)
+    ("email", 3, " contact alice.k@examples-mail.com today",
+     " write bob_1%tmp@sub.host.org soon"),
+    ("phone", 5, " call +49 151 2345 678 now", " dial +1 202-555-0144 ok"),
+    ("ipv4", 7, " host 192.168.4.27 up", " node 10.0.73.9 down"),
+]
+
+
+def _pii_sql(d) -> str:
+    plant = "text"
+    for _, mod, a, b in _PII_PLANTS:
+        plant = (f"({plant} || CASE WHEN doc_id % {mod} = 0 THEN "
+                 f"CASE WHEN doc_id % 2 = 0 THEN '{a}' ELSE '{b}' END "
+                 f"ELSE '' END)")
+    red = "planted"
+    for pat, mask in ((_PII_EMAIL, "<EMAIL>"), (_PII_PHONE, "<PHONE>"),
+                      (_PII_IPV4, "<IP>")):
+        red = d.regex_replace_all(red, pat, mask)
+    n = {k: d.list_len(d.regex_matches("planted", p))
+         for k, p in (("email", _PII_EMAIL), ("phone", _PII_PHONE),
+                      ("ipv4", _PII_IPV4))}
+    return f"""
+    WITH planted_docs AS (
+      SELECT doc_id, {plant} AS planted FROM documents
+    )
+    SELECT doc_id,
+           CAST({n['email']} AS BIGINT) AS n_email,
+           CAST({n['phone']} AS BIGINT) AS n_phone,
+           CAST({n['ipv4']} AS BIGINT) AS n_ipv4,
+           CAST(length({red}) AS BIGINT) AS red_len,
+           CAST(length(planted) - length({red}) AS BIGINT) AS n_cut
+    FROM planted_docs
+    """
+
+
+@register("pii_scrub", _pii_sql(DUCKDB))
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_both(spark, sf_dir, _pii_sql(SPARK))
+
+
 # --- document fingerprint (order-sensitive rolling hash) ---------------------
 
 def _fp_sql(d) -> str:
