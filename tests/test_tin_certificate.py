@@ -92,3 +92,36 @@ def test_stray_points_void_bbox_clamp(spark):
     with pytest.raises(ValueError, match="outside the nominal extent"):
         build_broadcast_pack(spark, points, cell_res=4, index_res=8,
                              halo_m=2.0, id_col="pid", certify=True)
+
+
+def test_certified_build_total_on_clustered_cloud(spark):
+    """Clustered clouds (big inter-cluster voids => huge circumcircles
+    everywhere) exercise the whole repair ladder: halo doubling, then
+    grid auto-coarsening. The build must still terminate and emit only
+    globally-Delaunay triangles."""
+    import pandas as pd
+
+    rng = np.random.default_rng(23)
+    centers = np.stack([_X0 + rng.random(5) * _EXT,
+                        _Y0 + rng.random(5) * _EXT], axis=1)
+    pts = np.concatenate([
+        c + rng.normal(0, _EXT * 0.02, (300, 2)) for c in centers
+    ])
+    pts = np.clip(pts, [_X0, _Y0],
+                  [_X0 + _EXT * 0.999, _Y0 + _EXT * 0.999])
+    pdf = pd.DataFrame({
+        "pid": np.arange(len(pts), dtype=np.int64),
+        "x": pts[:, 0], "y": pts[:, 1],
+        "z": rng.random(len(pts)),
+    })
+    for c, v in TPU_DEFAULTS.items():
+        pdf[c] = v
+    bc = build_broadcast_pack(spark, spark.createDataFrame(pdf),
+                              cell_res=3, index_res=8, halo_m=1.0,
+                              id_col="pid", certify=True)
+    pack = bc.value
+    bc.destroy()
+    got = _pack_triples(pack, np.sort(pdf["pid"].to_numpy(np.int64)))
+    want = _global_triples(pdf)
+    assert not (got - want), "rogue triangles on clustered cloud"
+    assert len(want - got) < 0.01 * len(want)
