@@ -106,3 +106,29 @@ def fingerprint_reduce(d: Dialect, tokens: str) -> str:
         f" list_transform({tokens}, t -> CAST({th} AS BIGINT))),"
         f" (h, t) -> (h * 131 + t) % {p})"
     )
+
+
+def trigram_exprs(d: Dialect, tokens: str, n: str) -> str:
+    """Per-position token TRIGRAM STRINGS (order-sensitive, exact).
+
+    The actual 3-token string joined by a space — no hashing, so
+    distinct-counting is collision-free (the cheap token_hash used for
+    minhash collides badly on structured vocabularies). Position range
+    is 1..n-2 (1-based); identical in both engines.
+    """
+    if d.name == "spark":
+        # sequence() over BIGINT bounds yields BIGINT lambda vars;
+        # element_at requires INT
+        el = lambda idx: f"element_at({tokens}, CAST({idx} AS INT))"
+        body = f"concat_ws(' ', {el('i')}, {el('i + 1')}, {el('i + 2')})"
+        return f"transform(sequence(1, {n} - 2), i -> {body})"
+    el = lambda idx: f"list_extract({tokens}, {idx})"
+    body = f"concat_ws(' ', {el('i')}, {el('i + 1')}, {el('i + 2')})"
+    # duckdb range(a, b) is end-exclusive: [1, n-2]
+    return f"list_transform(range(1, ({n} - 2) + 1), i -> {body})"
+
+
+def distinct_len(d: Dialect, lst: str) -> str:
+    if d.name == "spark":
+        return f"size(array_distinct({lst}))"
+    return f"length(list_distinct({lst}))"

@@ -433,7 +433,10 @@ _TIN_COEFFS_BODY = f"""
 """
 
 
-@register("tin_coeffs", _tin_sql(DUCKDB, _TIN_COEFFS_BODY))
+@register("tin_coeffs", _tin_sql(DUCKDB, _TIN_COEFFS_BODY),
+          gate=False)  # r5 rotation: plane-coefficient math runs inside the
+# gated tin_plane_kernel/tin_var_kernel distributed path and is pinned by
+# the closed-form pytest oracles; slot freed for repetition_score
 def q_tin_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_both(spark, sf_dir, _tin_sql(SPARK, _TIN_COEFFS_BODY))
 
@@ -446,7 +449,9 @@ _TIN_INTERP_BODY = f"""
 """
 
 
-@register("tin_interp", _tin_sql(DUCKDB, _TIN_INTERP_BODY))
+@register("tin_interp", _tin_sql(DUCKDB, _TIN_INTERP_BODY),
+          gate=False)  # r5 rotation: interpolation is the gated tin_interp
+# term inside tin_plane_kernel's probe; slot freed for sample_stratified
 def q_tin_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_both(spark, sf_dir, _tin_sql(SPARK, _TIN_INTERP_BODY))
 

@@ -462,3 +462,74 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embeddings"
     )
     return spark.sql(_topk_sql(SPARK))
+
+
+# --- repetition score (Gopher-style duplicate-trigram fraction) --------------
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher") filter docs whose
+# duplicate n-gram fraction is high; this is the trigram variant over the
+# whitespace tokenizer. Map-side only: tokens never leave their row, the
+# output is 3 small columns per doc — at 100 TB this is a pure scan+project.
+# rep_frac is ONE int64/int64 divide -> bit-exact in both engines.
+
+def _repetition_sql(d) -> str:
+    tg = tx.trigram_exprs(d, "tk", "n")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {d.split_ws("text")} AS tk,
+             CAST({d.ntokens("text")} AS BIGINT) AS n
+      FROM documents WHERE length(text) > 0
+    ), tri AS (
+      SELECT doc_id, n - 2 AS n_tri,
+             CAST({tx.distinct_len(d, tg)} AS BIGINT) AS n_uniq_tri
+      FROM toks WHERE n >= 3
+    )
+    SELECT doc_id, n_tri, n_uniq_tri,
+           (n_tri - n_uniq_tri) / n_tri AS rep_frac
+    FROM tri
+    """
+
+
+@register("repetition_score", _repetition_sql(DUCKDB))
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_both(spark, sf_dir, _repetition_sql(SPARK))
+
+
+# --- stratified sample (deterministic hash, two-phase salted top-k) ----------
+# Training-mix curation: a fixed-size uniform sample per lang stratum, chosen
+# by an arithmetic hash (no rand() — reproducible across engines and runs).
+# The top-k is TWO-PHASE: phase 1 ranks within (stratum, doc_id%16 salt) and
+# keeps k per salt, phase 2 ranks the <=16k survivors per stratum. The salt
+# never changes the result (phase-1 top-k per salt is a superset of the
+# global top-k) but bounds every sort partition: at 10^12 docs a single
+# stratum never funnels through one task. Affine-mod chain stays < 2^63:
+# (doc_id % P) * 131071 < 2^53, h1 * 8191 < 2^49 (P prime ~2^36).
+
+_SAMPLE_P = 68_718_952_447
+_SAMPLE_K = 40
+
+
+def _sample_sql() -> str:
+    p, k = _SAMPLE_P, _SAMPLE_K
+    return f"""
+    WITH h AS (
+      SELECT doc_id, lang, source,
+             (((doc_id % {p}) * 131071 + 12345) % {p} * 8191 + 777) % {p} AS h
+      FROM documents
+    ), local AS (
+      SELECT doc_id, lang, source, h,
+             row_number() OVER (PARTITION BY lang, doc_id % 16
+                                ORDER BY h, doc_id) AS lrn
+      FROM h
+    ), ranked AS (
+      SELECT doc_id, lang, source, h,
+             row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+      FROM local WHERE lrn <= {k}
+    )
+    SELECT doc_id, lang, source, h, CAST(rn AS BIGINT) AS samp_rank
+    FROM ranked WHERE rn <= {k}
+    """
+
+
+@register("sample_stratified", _sample_sql())
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_both(spark, sf_dir, _sample_sql())
