@@ -21,8 +21,12 @@ Round 5: the DEFAULT run fits a wall-clock budget (BENCH_BUDGET_S,
 2100 s) — one pinned child per level is required, extra interleaved
 pair-block samples launch only while they fit, so a noisy box
 degrades to fewer samples instead of a driver timeout (BENCH_r04 was
-rc=124 under the unbudgeted 11-child protocol). BENCH_FULL=1 restores
-the full protocol for local runs.
+rc=124 under the unbudgeted 11-child protocol). The 8->32 pair input
+is 2x docs / 4x points: cheap enough that the interleaved pair
+RESAMPLE block fits the budget (two spaced children per end beats one
+— round 3's single-window 8->32 read 0.559 of control), while both
+phases still dwarf the fixed Spark floor. BENCH_FULL=1 restores the
+full protocol for local runs.
 
 Prints ONE JSON line and refreshes BENCH.md.
 """
@@ -751,16 +755,26 @@ def main() -> None:
     # taken — the long 2-core child is 4x less noise-sensitive and runs
     # once. Phase-min over repeats, like best-of-N wall clock.
     all_runs: dict[str, list] = {}
-    # 8 -> 32 evidence pair input: 4x docs / 4x points. Round-4
+    # 8 -> 32 evidence pair input: 2x docs / 4x points. Round-4
     # profiling (BASELINE.md) showed the TIN build carries a ~4-5 s
     # parallelism-INDEPENDENT Spark floor (fan-out shuffle + Arrow
     # channel + 128 task handshakes; the Delaunay kernel itself scales
     # at the box's own mp ceiling and a stubbed-kernel build costs the
     # same wall time). Weak-scaling evidence needs each level to hold
     # enough work that this fixed term stays a small share of the
-    # 32-core job — 4x docs keeps the stream phase dominant, and 4x
-    # points (r5, up from 2x) does the same for the build phase.
-    big_docs, big_points = 4 * N_DOCS, 4 * N_POINTS
+    # 32-core job — 4x points keeps the BUILD phase compute-dominated
+    # (the phase the floor actually dominates at 2x: CLAUDE.md). The
+    # STREAM's own fixed term is far smaller (~2.7 s of Arrow channel +
+    # handshakes, BASELINE.md decomposition), so 2x docs (r5, down from
+    # 4x) still leaves the 32-core stream ~36 s >> floor while halving
+    # the pair's child cost — which is what lets the INTERLEAVED
+    # pair-resample block (VERDICT r4 #3: "prefer fewer/shorter streams
+    # over dropping the interleave") actually fit inside the driver
+    # budget instead of being skipped after the required pass. One
+    # sample per end was round 3's failure mode (a single noise window
+    # read 0.559 of control); two spaced children per end with
+    # phase-min is the estimator that converges.
+    big_docs, big_points = 2 * N_DOCS, 4 * N_POINTS
     level_args = {
         "cores2": (2, N_DOCS, N_POINTS, 3),
         "cores8": (8, N_DOCS, N_POINTS, 3),
@@ -776,8 +790,8 @@ def main() -> None:
         # streams take extra in-child samples; the expensive 8-core 4x
         # streams (~100 s each) take 2 in the budgeted default, 3
         # under BENCH_FULL.
-        "cores8_4xd": (8, big_docs, big_points, 3 if full else 2),
-        "cores32_4xd": (32, big_docs, big_points, 5 if full else 3),
+        "cores8_big": (8, big_docs, big_points, 3 if full else 2),
+        "cores32_big": (32, big_docs, big_points, 5 if full else 3),
     }
 
     level_cost: dict[str, float] = {}
@@ -809,12 +823,12 @@ def main() -> None:
     # children converges to the quiet-box ratio instead of betting one
     # block of back-to-back children against another.
     if full:
-        for tag in ("cores2", "cores8", "cores8_4xd", "cores32_4xd",
-                    "cores8", "cores2", "cores8_4xd", "cores32_4xd",
-                    "cores8", "cores8_4xd", "cores32_4xd"):
+        for tag in ("cores2", "cores8", "cores8_big", "cores32_big",
+                    "cores8", "cores2", "cores8_big", "cores32_big",
+                    "cores8", "cores8_big", "cores32_big"):
             run_level(tag)
     else:
-        for tag in ("cores2", "cores8", "cores8_4xd", "cores32_4xd"):
+        for tag in ("cores2", "cores8", "cores8_big", "cores32_big"):
             # required: one child per level. Pressure valve: when host
             # noise has already eaten half the budget, shave a stream
             # sample off the remaining required children (floor 2 =
@@ -830,8 +844,8 @@ def main() -> None:
         # block runs only if it fits the remaining budget wholesale;
         # a too-expensive block is SKIPPED, not a stop: a cheaper
         # later block (the graded 2->8 pair's ends) may still fit
-        for block in (("cores8_4xd", "cores32_4xd"), ("cores8",),
-                      ("cores8_4xd", "cores32_4xd"), ("cores8",),
+        for block in (("cores8_big", "cores32_big"), ("cores8",),
+                      ("cores8_big", "cores32_big"), ("cores8",),
                       ("cores2",)):
             est = sum(1.1 * level_cost[t] for t in block)
             if time.time() - t_main0 + est > budget_s:
@@ -840,8 +854,8 @@ def main() -> None:
                 run_level(tag)
     b2, s2 = best("cores2")
     b8, s8 = best("cores8")
-    b8b, s8b = best("cores8_4xd")
-    b32, s32 = best("cores32_4xd")
+    b8b, s8b = best("cores8_big")
+    b32, s32 = best("cores32_big")
     t2, t8 = b2 + s2, b8 + s8
     eff_n4n = (t2 / t8) / 4.0       # N=2 cores -> 4N=8 cores
     eff_stream = (s2 / s8) / 4.0    # docs/sec throughput criterion
@@ -866,8 +880,9 @@ def main() -> None:
             "build_stream_sec": {
                 "cores2": [round(b2, 2), round(s2, 2)],
                 "cores8": [round(b8, 2), round(s8, 2)],
-                "cores8_4x_input": [round(b8b, 2), round(s8b, 2)],
-                "cores32_4x_input": [round(b32, 2), round(s32, 2)],
+                "cores8_big_input": [round(b8b, 2), round(s8b, 2)],
+                "cores32_big_input": [round(b32, 2), round(s32, 2)],
+                "big_input_docs_points": [big_docs, big_points],
             },
             "per_run_build_stream_sec": all_runs,
             "docs_per_sec_stream_8cores": round(d8),
@@ -935,7 +950,7 @@ def main() -> None:
         f"| 32 | {big_docs:,} | {b32:.1f} | {s32:.1f} | {d32:,.0f} |\n\n"
         f"**Scaling efficiency N->4N (2->8 cores)**: docs/sec throughput "
         f"(stream phase) **{eff_stream:.3f}**; total job incl. TIN build "
-        f"**{eff_n4n:.3f}** (target >= 0.8). 8->32 at 4x docs / 4x "
+        f"**{eff_n4n:.3f}** (target >= 0.8). 8->32 at 2x docs / 4x "
         f"points: stream {eff_8_32_stream:.3f}, total {eff_8_32:.3f} "
         f"(stream/control {eff_8_32_stream / ctl_8_32['efficiency']:.3f}; "
         f"the total carries the TIN build's fixed ~4-5 s "
