@@ -244,3 +244,32 @@ def test_mor_delete_apply_degrades_to_shuffled_anti_join(
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         else:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_repetition_score_is_map_side_only(spark):
+    """The Gopher repetition filter must stay a pure scan+project at
+    100 TB: no Exchange anywhere, scan pruned to (doc_id, text)."""
+    import gpiv_spark.queries  # noqa: F401
+    from gpiv_spark.queries_text import q_repetition_score
+
+    df = q_repetition_score(spark, SF)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "ReadSchema" in plan
+    assert "lang" not in plan.split("ReadSchema")[1][:300]
+
+
+def test_sample_stratified_two_phase_windows(spark):
+    """The stratified sample's phase-1 rank must partition by
+    (stratum, salt) — i.e. the salt expression reaches a window
+    partitioning — so no stratum ever sorts through one task; phase 2
+    partitions by the stratum alone over the bounded survivors."""
+    import gpiv_spark.queries  # noqa: F401
+    from gpiv_spark.queries_text import q_sample_stratified
+
+    df = q_sample_stratified(spark, SF)
+    plan = _plan(df)
+    n_windows = plan.count("Window")
+    assert n_windows >= 2, plan
+    # the salted phase-1 partitioning appears (doc_id % 16)
+    assert "% 16" in plan, plan
