@@ -508,7 +508,15 @@ _SAMPLE_P = 68_718_952_447
 _SAMPLE_K = 40
 
 
-def _sample_sql() -> str:
+_SAMPLE_SALT = 16  # phase-1 fan-out: the SCALE knob, not a semantics knob.
+# Each phase-1 sort task handles ~n/(strata*salt) rows and phase 2 sees
+# salt*k rows per stratum, so at 10^12 docs you raise the salt (e.g. 4096
+# -> ~50M-row sort tasks, 160k-row phase-2 strata) and the result is
+# PROVABLY unchanged: per-salt top-k is a superset of the global top-k
+# (tests/test_text_curation.py pins 16 vs 256 equality).
+
+
+def _sample_sql(salt: int = _SAMPLE_SALT) -> str:
     p, k = _SAMPLE_P, _SAMPLE_K
     return f"""
     WITH h AS (
@@ -517,7 +525,7 @@ def _sample_sql() -> str:
       FROM documents
     ), local AS (
       SELECT doc_id, lang, source, h,
-             row_number() OVER (PARTITION BY lang, doc_id % 16
+             row_number() OVER (PARTITION BY lang, doc_id % {salt}
                                 ORDER BY h, doc_id) AS lrn
       FROM h
     ), ranked AS (

@@ -83,3 +83,13 @@ def test_stratified_sample_salt_invariant(spark):
         .apply(lambda s: list(s) == list(range(1, _SAMPLE_K + 1)))
         .all()
     )
+    # the salt is a SCALE knob, not a semantics knob: a 16x wider
+    # phase-1 fan-out must produce the identical sample
+    from gpiv_spark.queries_text import _sample_sql
+
+    wide = spark.sql(_sample_sql(salt=256)).toPandas()
+    key = ["lang", "samp_rank", "doc_id"]
+    assert (
+        wide.sort_values(key).reset_index(drop=True)[key]
+        .equals(got.sort_values(key).reset_index(drop=True)[key])
+    )
