@@ -851,11 +851,12 @@ def main() -> None:
         # 181 s quiet) pushed the est-gated pair block over budget, the
         # resample self-cancelled, and the single-window 8->32 read
         # 0.484 of control while the resampled run before it read
-        # 1.004. Launch-time gates bound the overrun to one in-flight
-        # child past the budget instead.
-        for tag, gate in (("cores8_big", 0.78), ("cores32_big", 0.92)):
-            if time.time() - t_main0 < gate * budget_s:
-                run_level(tag)
+        # 1.004. ONE gate decides BOTH ends (resampling only one end
+        # breaks the interleave's same-noise-window pairing); overrun
+        # is bounded to the two in-flight children past the gate.
+        if time.time() - t_main0 < 0.78 * budget_s:
+            run_level("cores8_big")
+            run_level("cores32_big")
         # remaining extra samples in priority order, in PAIR BLOCKS
         # (both ends of a ratio resample together, preserving the
         # interleave) — each block runs only if its measured cost fits

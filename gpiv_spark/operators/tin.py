@@ -414,8 +414,15 @@ def build_pack_blobs(spark: SparkSession, points: DataFrame,
     nf = 1 << index_res
     fs = _EXT / nf
     csize = _EXT / n
-    halo_eff = csize if halo_m is None else halo_m
-    edge_eff = halo_eff if edge_halo_m is None else edge_halo_m
+    # The halo the CERTIFICATE may claim is capped at csize:
+    # fan_out_points only ever reaches the 8-neighbor ring, so the
+    # seen region is cell + csize no matter how large halo_m is — a
+    # larger claimed halo would certify triangles against points the
+    # kernel never saw (the retry path in build_broadcast_pack caps
+    # its halos the same way; this clamp closes the caller-supplied
+    # halo_m > csize hole on the first pass).
+    halo_eff = min(csize, csize if halo_m is None else halo_m)
+    edge_eff = min(csize, halo_eff if edge_halo_m is None else edge_halo_m)
     pts = fan_out_points(spark, points, cell_res, halo_m,
                          extra_cols=(id_col,), edge_halo_m=edge_halo_m)
     if only_cells is not None:
@@ -486,7 +493,6 @@ def build_pack_blobs(spark: SparkSession, points: DataFrame,
             ccx0, ccy0 = 0.5 * (x_lo + x_hi), 0.5 * (y_lo + y_hi)
             pc = p - _np.array([[ccx0, ccy0]])
             cc, r2 = dl._circumcircles(pc, tri)
-            r = _np.sqrt(r2)
             on_edge = cx in (0, n - 1) or cy in (0, n - 1)
             half = 0.5 * csize + (edge_eff if on_edge else halo_eff)
             # data bbox in cell-centered coords

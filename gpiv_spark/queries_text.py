@@ -369,27 +369,17 @@ _DECONTAM_MIN_HITS = 3
 
 
 def _decontam_sql(d) -> str:
-    if d.name == "spark":
-        # Spark's sequence(1, 0) is DESCENDING ([1, 0]), not empty like
-        # DuckDB's range — docs under 3 tokens must be filtered, not
-        # clamped
-        src = (
-            "SELECT doc_id, explode(transform("
-            " sequence(1, size(split(text,' ')) - 2),"
-            " i -> concat_ws(' ', element_at(split(text,' '), i),"
-            " element_at(split(text,' '), i+1),"
-            " element_at(split(text,' '), i+2)))) AS s"
-            " FROM documents WHERE size(split(text,' ')) >= 3"
-        )
-    else:
-        src = (
-            "SELECT doc_id, unnest(list_transform("
-            " range(1, len(string_split(text,' ')) - 1),"
-            " i -> string_split(text,' ')[i] || ' ' ||"
-            " string_split(text,' ')[i+1] || ' ' ||"
-            " string_split(text,' ')[i+2])) AS s"
-            " FROM documents WHERE len(string_split(text,' ')) >= 3"
-        )
+    # shingles come from the SAME trigram template as repetition_score
+    # (dialect discipline: one definition per op — a tokenizer change
+    # cannot desynchronize the two gated queries). Spark's
+    # sequence(1, 0) is DESCENDING ([1, 0]), not empty like DuckDB's
+    # range — docs under 3 tokens must be filtered, not clamped.
+    tg = tx.trigram_exprs(d, d.split_ws("text"), f"({d.ntokens('text')})")
+    ex = "explode" if d.name == "spark" else "unnest"
+    src = (
+        f"SELECT doc_id, {ex}({tg}) AS s"
+        f" FROM documents WHERE {d.ntokens('text')} >= 3"
+    )
     return f"""
     WITH sh AS ({src}),
     eval_sh AS (

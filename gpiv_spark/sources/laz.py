@@ -638,8 +638,10 @@ def laz_table(spark, path: str, tasks: int | None = None):
                 yield pd.DataFrame(out)
 
     # fixed, bounded task count (CLAUDE.md granularity invariant);
-    # round-robin so consecutive heavy chunks spread across tasks
-    return splits.repartition(min(64, n_splits)).mapInPandas(
+    # round-robin so consecutive heavy chunks spread across tasks.
+    # ``tasks`` overrides the 64 default for giant-cloud scans.
+    n_tasks = min(tasks if tasks is not None else 64, n_splits)
+    return splits.repartition(max(1, n_tasks)).mapInPandas(
         decode, LAS_POINTS_SCHEMA)
 
 
