@@ -989,8 +989,11 @@ def main() -> None:
         f"children run per level: "
         f"{ {t: len(r) for t, r in all_runs.items()} }; elapsed "
         f"{time.time() - t_main0:.0f}s. One child per level is "
-        f"required; extra interleaved pair-block samples launch only "
-        f"while they fit the budget, so a noisy box degrades to fewer "
+        f"required; the 8->32 pair resample holds a reserved "
+        f"time-gated claim (both ends behind one gate — a noise wave "
+        f"must not price the resample out of its own budget); "
+        f"remaining interleaved pair-block samples launch only while "
+        f"their measured cost fits, so a noisy box degrades to fewer "
         f"samples instead of a driver timeout (BENCH_r04 was rc=124).\n\n"
         f"Dedup endgame e2e (minhash-LSH pairs -> connected components "
         f"-> keep-best canonical -> equality-delete MoR commit -> "
