@@ -95,10 +95,9 @@ def stream_dedup_first(docs: DataFrame, horizon: str = "1 hour",
     stateful operator, the text never leaves the map side."""
     from pyspark.sql import functions as F
 
-    unit = horizon.split()
-    mult = {"seconds": 1_000, "second": 1_000, "minutes": 60_000,
-            "minute": 60_000, "hours": 3_600_000, "hour": 3_600_000}
-    horizon_ms = int(unit[0]) * mult[unit[1]]
+    from gpiv_spark.streaming.stateful import interval_ms
+
+    horizon_ms = interval_ms(horizon)
     wm = docs.withWatermark("ts", watermark)
     if key_by_text:
         grouped = wm.groupBy("text")

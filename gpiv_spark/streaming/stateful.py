@@ -1,17 +1,36 @@
 """Custom stateful streaming operator: gap-based sessionization.
 
 The batch engine sessionizes with window functions (queries_misc._SESS_SQL);
-the streaming twin keeps one OPEN session per user in state and emits a
-session row the moment it closes — either because a later event arrived
-more than ``gap`` after it, or because the event-time watermark passed
-its timeout. ``applyInPandasWithState`` is the Spark shape for stateful
-operators the built-ins can't express (BASELINE north-rule: custom
-stateful ops): state is a single compact tuple per key, events stream
-through in Arrow batches, and the watermark bounds state size.
+the streaming twin keeps the OPEN session CLUSTERS per user in state and
+emits a session row once it is provably final. ``applyInPandasWithState``
+is the Spark shape for stateful operators the built-ins can't express
+(BASELINE north-rule: custom stateful ops): state is a compact row per
+key, events stream through in Arrow batches, and the watermark bounds
+both state size and emission.
 
-Cross-check: tests/test_streaming_stateful.py drives a bounded input
-and compares the closed sessions against the batch sessionizer's output
-on the same events — streaming and batch must agree exactly.
+Out-of-order events ACROSS micro-batches (any event with ts >= watermark
+may arrive arbitrarily late) mean a single (start, last) open session is
+not enough state: a straggler older than the open session's last event
+can open its own earlier session, or retroactively bridge two clusters.
+State is therefore the full list of open sub-session clusters
+(start, last, n, total) — sessionization is associative on clusters
+(sort by start, merge neighbors whose gap-distance allows), so replaying
+each batch's events as singleton clusters into the state list reproduces
+the batch semantics exactly regardless of arrival order. A cluster is
+emitted only when ``last + gap <= watermark``: every future event has
+``ts >= watermark > last + gap >= start`` and so can merge with neither
+end of the cluster — emission is final by construction, never a guess.
+The per-key timeout is the earliest surviving cluster deadline.
+
+State stays bounded: clusters other than the latest can only exist
+within the watermark horizon (older ones emit), so the list length is
+O(late-window / gap), not O(events).
+
+Cross-check: tests/test_streaming_stateful.py drives a bounded input —
+including a shuffled two-batch out-of-order split under a lenient
+watermark — and compares the closed sessions against the batch
+sessionizer's output on the same events: streaming and batch must agree
+exactly.
 """
 
 from __future__ import annotations
@@ -24,61 +43,80 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUT_SCHEMA = ("user_id long, start_ms long, n_events long, "
               "total_value double")
-STATE_SCHEMA = "start_ms long, last_ms long, n_events long, total_value double"
+STATE_SCHEMA = ("starts array<long>, lasts array<long>, ns array<long>, "
+                "tots array<double>")
+
+
+def interval_ms(interval: str) -> int:
+    """'30 minutes' -> 1_800_000. Shared by every streaming operator so
+    the unit table cannot drift between them."""
+    qty, unit = interval.split()
+    mult = {"seconds": 1_000, "second": 1_000, "minutes": 60_000,
+            "minute": 60_000, "hours": 3_600_000, "hour": 3_600_000,
+            "days": 86_400_000, "day": 86_400_000}
+    if unit not in mult:
+        raise ValueError(f"unsupported interval unit {unit!r} in "
+                         f"{interval!r} (use seconds/minutes/hours/days)")
+    return int(qty) * mult[unit]
+
+
+def _merge_clusters(clusters: list[list], gap_ms: int) -> list[list]:
+    """Coalesce [start, last, n, tot] clusters sorted by start: adjacent
+    clusters belong to one session iff the later one starts within
+    gap_ms of the earlier one's last event (the batch split rule)."""
+    clusters.sort(key=lambda c: (c[0], c[1]))
+    out: list[list] = []
+    for c in clusters:
+        if out and c[0] - out[-1][1] <= gap_ms:
+            out[-1][1] = max(out[-1][1], c[1])
+            out[-1][2] += c[2]
+            out[-1][3] += c[3]
+        else:
+            out.append(list(c))
+    return out
 
 
 def _make_session_fn(gap_ms: int):
+    def _flush(user_id: int, clusters: list[list], wm: int,
+               state: GroupState):
+        """Emit every cluster final under the watermark; persist the
+        rest with the earliest surviving deadline as the timeout."""
+        emit = [c for c in clusters if c[1] + gap_ms <= wm]
+        keep = [c for c in clusters if c[1] + gap_ms > wm]
+        if keep:
+            state.update((
+                [int(c[0]) for c in keep], [int(c[1]) for c in keep],
+                [int(c[2]) for c in keep], [float(c[3]) for c in keep],
+            ))
+            state.setTimeoutTimestamp(min(c[1] + gap_ms for c in keep))
+        elif state.exists:
+            state.remove()
+        if emit:
+            yield pd.DataFrame(
+                [(user_id, int(c[0]), int(c[2]), float(c[3]))
+                 for c in emit],
+                columns=["user_id", "start_ms", "n_events", "total_value"],
+            )
+
     def fn(key: Any, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         user_id = int(key[0])
+        clusters: list[list] = []
+        if state.exists:
+            starts, lasts, ns, tots = state.get
+            clusters = [[int(s), int(l), int(n), float(t)]
+                        for s, l, n, t in zip(starts, lasts, ns, tots)]
+        wm = state.getCurrentWatermarkMs()
         if state.hasTimedOut:
-            start, last, n, tot = state.get
-            state.remove()
-            yield pd.DataFrame(
-                [{"user_id": user_id, "start_ms": start,
-                  "n_events": n, "total_value": tot}]
-            )
+            yield from _flush(user_id, clusters, wm, state)
             return
         rows = pd.concat(list(pdfs), ignore_index=True)
-        # event-time ms; within-batch order is not guaranteed
         ms = (rows["ts"].astype("int64") // 1_000_000).to_numpy()
         vals = rows["value"].to_numpy()
-        order = ms.argsort(kind="stable")
-        ms, vals = ms[order], vals[order]
-
-        if state.exists:
-            start, last, n, tot = state.get
-        else:
-            start = last = None
-            n, tot = 0, 0.0
-        closed = []
-        for t, v in zip(ms, vals):
-            if last is not None and t - last > gap_ms:
-                closed.append((user_id, start, n, tot))
-                start, n, tot = int(t), 0, 0.0
-            if start is None:
-                start = int(t)
-            last = int(t)
-            n += 1
-            tot += float(v)
-        deadline = last + gap_ms
-        wm = state.getCurrentWatermarkMs()
-        if deadline <= wm:
-            # the event-time watermark already passed this group's gap
-            # deadline (late/straggling group relative to global
-            # progress): the session is closed by definition — emit it
-            # now; a timeout in the past is illegal to register.
-            closed.append((user_id, start, n, tot))
-            state.remove()
-        else:
-            state.update((start, last, n, tot))
-            # close the open session when the watermark passes last+gap
-            state.setTimeoutTimestamp(deadline)
-        if closed:
-            yield pd.DataFrame(
-                closed, columns=["user_id", "start_ms", "n_events",
-                                 "total_value"]
-            )
+        clusters.extend([int(t), int(t), 1, float(v)]
+                        for t, v in zip(ms, vals))
+        clusters = _merge_clusters(clusters, gap_ms)
+        yield from _flush(user_id, clusters, wm, state)
 
     return fn
 
@@ -87,10 +125,7 @@ def stream_sessionize(events: DataFrame, gap: str = "30 minutes",
                       watermark: str = "0 seconds") -> DataFrame:
     """events(user_id long, event_id long, ts timestamp, value double)
     [streaming] -> closed sessions (OUT_SCHEMA), append mode."""
-    unit = gap.split()
-    mult = {"seconds": 1_000, "second": 1_000, "minutes": 60_000,
-            "minute": 60_000, "hours": 3_600_000, "hour": 3_600_000}
-    gap_ms = int(unit[0]) * mult[unit[1]]
+    gap_ms = interval_ms(gap)
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
