@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
 from pathlib import Path
 
@@ -169,10 +170,17 @@ def write_snapshot(df: DataFrame, table_dir: str | os.PathLike,
     (table_dir / "data").mkdir(parents=True, exist_ok=True)
     data_dir = Path(tempfile.mkdtemp(dir=table_dir / "data", prefix="snap-"))
     data_dir.rmdir()  # Spark wants to create the leaf dir itself
+    ref_paths: set[str] = set()
     if equality_delete_cols is not None:
         df = df.select(*equality_delete_cols).distinct()
     elif positional_deletes:
         df = df.select("file_path", "pos").distinct()
+        # the data files these (file_path, pos) rows were derived from;
+        # validated against the COMMIT-TIME parent inside the loop — a
+        # positional delete racing a compact()/overwrite would otherwise
+        # commit fine but reference paths no longer in any live
+        # manifest, silently deleting nothing (lost update)
+        ref_paths = {r[0] for r in df.select("file_path").distinct().collect()}
     df.write.mode("errorifexists").parquet(str(data_dir))
     new_files = [
         _file_stats(str(p), [] if is_delete else stats_cols)
@@ -201,6 +209,20 @@ def write_snapshot(df: DataFrame, table_dir: str | os.PathLike,
                     f"cannot commit deletes to empty table {table_dir}"
                 )
             files = parent_man["files"]
+            if positional_deletes:
+                # _metadata.file_path handles are file: URIs; manifest
+                # entries are plain paths — normalize both forms
+                norm = lambda p: re.sub("^file:/*", "/", p)  # noqa: E731
+                live = {norm(f["path"]) for f in files}
+                stale = {p for p in ref_paths if norm(p) not in live}
+                if stale:
+                    raise ConcurrentOverwrite(
+                        f"positional deletes reference {len(stale)} data "
+                        f"file(s) not live in parent snapshot {parent} "
+                        f"(e.g. {sorted(stale)[0]}): the scan they were "
+                        "derived from predates a compact/overwrite — "
+                        "re-plan against the current snapshot"
+                    )
             # a delete commit keeps the TABLE's stats_cols contract
             stats_cols = parent_man["stats_cols"]
             marker = (
@@ -211,6 +233,17 @@ def write_snapshot(df: DataFrame, table_dir: str | os.PathLike,
                 dict(f, **marker) for f in new_files
             ]
         elif mode == "append" and parent_man is not None:
+            # the TABLE's stats_cols contract is set at creation /
+            # overwrite and survives appends: a caller passing a
+            # different list would otherwise silently relabel the
+            # manifest (and the next compact() would rewrite the whole
+            # table under the degraded contract, killing pruning)
+            if parent_man["stats_cols"] != stats_cols:
+                stats_cols = parent_man["stats_cols"]
+                new_files = [
+                    dict(_file_stats(f["path"], stats_cols), seq=new_id)
+                    for f in new_files
+                ]
             files = parent_man["files"] + new_files
             deletes = parent_man.get("delete_files", [])
         else:  # first commit or overwrite: fresh lists, deletes folded
@@ -238,7 +271,8 @@ def write_snapshot(df: DataFrame, table_dir: str | os.PathLike,
 
 def append_equality_deletes(keys_df: DataFrame,
                             table_dir: str | os.PathLike,
-                            eq_cols: list[str]) -> int:
+                            eq_cols: list[str],
+                            expected_parent: int | None = None) -> int:
     """Commit an equality-delete snapshot: every row of the table whose
     ``eq_cols`` tuple appears in ``keys_df`` is dead for readers of
     this snapshot onward — WITHOUT rewriting any data file (the
@@ -247,22 +281,34 @@ def append_equality_deletes(keys_df: DataFrame,
     a LATER snapshot are visible again (sequence rule). Returns the
     new snapshot id; same OCC commit path as data writes (which also
     enforces the non-empty-table precondition and carries the table's
-    stats_cols contract forward)."""
+    stats_cols contract forward). ``expected_parent`` pins the snapshot
+    the keys were derived from: a concurrent overwrite would otherwise
+    let stale keys apply to brand-new rows (pass the snapshot id the
+    planning scan read; positional deletes additionally get an
+    automatic path-liveness check)."""
     return write_snapshot(keys_df, table_dir, stats_cols=[],
-                          equality_delete_cols=eq_cols)
+                          equality_delete_cols=eq_cols,
+                          expected_parent=expected_parent)
 
 
 def append_positional_deletes(pos_df: DataFrame,
-                              table_dir: str | os.PathLike) -> int:
+                              table_dir: str | os.PathLike,
+                              expected_parent: int | None = None) -> int:
     """Commit a POSITIONAL delete snapshot: ``pos_df`` is
     ``(file_path string, pos long)`` rows — the ``_file_path``/``_pos``
     handles from ``read_snapshot(..., with_pos=True)`` — each killing
     one physical row of one data file. The row-level flavor for
     surgical dedup (keep row 0 of a duplicate run, delete rows 1..n-1
     even when every column is byte-identical, where equality deletes
-    cannot distinguish the keeper). Returns the new snapshot id."""
+    cannot distinguish the keeper). Returns the new snapshot id. The
+    commit validates that every referenced file_path is still live in
+    the commit-time parent (a racing compact/overwrite invalidates the
+    handles — ConcurrentOverwrite instead of a delete that silently
+    kills nothing); ``expected_parent`` additionally pins the exact
+    planning snapshot."""
     return write_snapshot(pos_df, table_dir, stats_cols=[],
-                          positional_deletes=True)
+                          positional_deletes=True,
+                          expected_parent=expected_parent)
 
 
 def _load_manifest(table_dir: str | os.PathLike, snapshot: int) -> dict:
@@ -380,12 +426,29 @@ def read_snapshot(spark: SparkSession, table_dir: str | os.PathLike,
     for p, s in zip(plan["files"], plan["file_seqs"]):
         groups.setdefault(applicable(s), []).append(p)
 
+    # per-(path, cols) distinct frames, built once and SHARED across the
+    # applicable-delete-set groups (whose sets are nested prefixes when
+    # D delete snapshots interleave with appends): each branch of the
+    # final union then contains the identical scan->distinct subtree,
+    # whose shuffle Exchange Spark reuses (ReusedExchange), so every
+    # delete parquet is read O(1) times instead of O(groups) times.
+    _path_frames: dict[tuple, DataFrame] = {}
+
     def delete_side(dels: list[dict], key_cols):
         """Distinct key frame for a delete-file set, broadcast only
-        while the manifest's row counts stay metadata-scale."""
-        keys = spark.read.parquet(
-            *[d["path"] for d in dels]
-        ).select(*key_cols).distinct()
+        while the manifest's row counts stay metadata-scale. Built as a
+        union of cached per-path distinct frames (anti-join semantics
+        are insensitive to duplicate keys across paths)."""
+        parts = []
+        for d in dels:
+            k = (d["path"], tuple(key_cols))
+            if k not in _path_frames:
+                _path_frames[k] = spark.read.parquet(
+                    d["path"]).select(*key_cols).distinct()
+            parts.append(_path_frames[k])
+        keys = parts[0]
+        for p in parts[1:]:
+            keys = keys.unionByName(p)
         if sum(d["rows"] for d in dels) <= BROADCAST_DELETE_ROWS:
             keys = F.broadcast(keys)
         return keys

@@ -44,10 +44,18 @@ def stream_cell_counts(spark: SparkSession, input_dir: str, schema: str,
     )
 
 
-def run_to_memory(agg: DataFrame, name: str = "cell_counts"):
-    """Drive a bounded input to completion synchronously (tests/smoke)."""
+def run_to_memory(agg: DataFrame, name: str = "cell_counts",
+                  output_mode: str = "complete"):
+    """Drive a bounded input to completion synchronously (tests/smoke).
+
+    BOUNDED inputs only: the default complete-mode memory sink retains
+    every window ever seen in driver memory, and Spark ignores the
+    watermark's state eviction entirely in complete mode — an unbounded
+    stream must use ``output_mode="update"`` (or append) with a real
+    sink, where the watermark actually bounds state.
+    """
     q = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()

@@ -423,3 +423,64 @@ def test_positional_and_equality_deletes_compose(spark, table_dir):
         append_positional_deletes(
             spark.createDataFrame([(1,)], "x long"), table_dir
         )
+
+
+def test_positional_delete_racing_compact_raises(spark, table_dir):
+    """A positional delete derived from a pre-compact scan references
+    file paths no longer live; committing it must raise
+    ConcurrentOverwrite instead of landing a delete that silently kills
+    nothing (the lost-update hole the OCC machinery exists to close)."""
+    from gpiv_spark.sources.manifest import (
+        ConcurrentOverwrite,
+        append_positional_deletes,
+        compact,
+    )
+
+    write_snapshot(_docs(spark, 0, 2_000), table_dir, stats_cols=["cell"])
+    scan = read_snapshot(spark, table_dir, with_pos=True)
+    losers = scan.filter("doc_id % 2 = 1").select(
+        F.col("_file_path").alias("file_path"), F.col("_pos").alias("pos")
+    )
+    losers = losers.localCheckpoint()  # pin paths before they go stale
+    compact(spark, table_dir, 2)      # concurrent writer rewrites files
+    with pytest.raises(ConcurrentOverwrite):
+        append_positional_deletes(losers, table_dir)
+
+
+def test_eq_delete_expected_parent_guard(spark, table_dir):
+    """append_equality_deletes(expected_parent=...) refuses to land keys
+    derived from a snapshot that is no longer the latest."""
+    from gpiv_spark.sources.manifest import (
+        ConcurrentOverwrite,
+        append_equality_deletes,
+    )
+
+    parent = write_snapshot(_docs(spark, 0, 1_000), table_dir,
+                            stats_cols=["cell"])
+    keys = spark.createDataFrame([(1,), (3,)], "doc_id long")
+    # concurrent overwrite replaces the table wholesale
+    write_snapshot(_docs(spark, 5_000, 6_000), table_dir,
+                   stats_cols=["cell"], mode="overwrite")
+    with pytest.raises(ConcurrentOverwrite):
+        append_equality_deletes(keys, table_dir, ["doc_id"],
+                                expected_parent=parent)
+
+
+def test_append_inherits_table_stats_cols(spark, table_dir):
+    """The stats_cols contract is set at creation and survives appends:
+    an append passing a different list must not relabel the manifest
+    (which would make the next compact() rewrite the table with no
+    stats, silently killing pruning forever)."""
+    from gpiv_spark.sources.manifest import _load_manifest, _snapshot_ids
+
+    write_snapshot(_docs(spark, 0, 5_000), table_dir, stats_cols=["cell"])
+    write_snapshot(_docs(spark, 5_000, 10_000), table_dir, stats_cols=[])
+    man = _load_manifest(table_dir, _snapshot_ids(table_dir)[-1])
+    assert man["stats_cols"] == ["cell"]
+    # the appended files carry REAL cell envelopes under the inherited
+    # contract, so pruning still works across both snapshots' files
+    assert all(
+        "cell" in f["stats"] for f in man["files"]
+    ), [f["stats"] for f in man["files"]]
+    plan = plan_scan(table_dir, ranges={"cell": (0, 7)})
+    assert len(plan["files"]) < len(man["files"])
