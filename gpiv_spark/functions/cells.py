@@ -139,7 +139,15 @@ def numpy_hex_qr(x, y, res: int):
     rf = (2.0 / 3.0 * ys) / size
     cx, cz = qf, rf
     cy = -qf - rf
-    rx, ry, rz = np.round(cx), np.round(cy), np.round(cz)
+
+    # SQL round() is half-AWAY-from-zero in both Spark and DuckDB;
+    # np.round is half-to-even — a .5 tie would give this "twin" a
+    # different cell than hex_qr_expr (the CLAUDE.md float-rules trap)
+    def _round_half_away(a):
+        return np.sign(a) * np.floor(np.abs(a) + 0.5)
+
+    rx, ry, rz = (_round_half_away(cx), _round_half_away(cy),
+                  _round_half_away(cz))
     dx, dy, dz = np.abs(rx - cx), np.abs(ry - cy), np.abs(rz - cz)
     fix_x = (dx > dy) & (dx > dz)
     fix_z = ~fix_x & ~(dy > dz)

@@ -114,6 +114,13 @@ def analytic_correlation_jacobian(template: np.ndarray,
         for c in range(3):
             sub = search[r : r + T0, c : c + T1]
             s_hat, sig_s = _norm(sub)
+            if not sig_s > EPS_FLAT:
+                # constant shifted sub-window: NCC at this offset is
+                # 0/0-undefined even when the FULL search window passed
+                # the flat guard (e.g. all variation in the outer 1-px
+                # border). Contribute zero gradient instead of the
+                # silent inf/NaN covariance a 0-sigma divide produces.
+                continue
             f = float(np.sum(t_hat * s_hat) / n)
             d_t = (s_hat - f * t_hat) / (n * sig_t)
             d_s_local = (t_hat - f * s_hat) / (n * sig_s)

@@ -118,13 +118,20 @@ def trigram_exprs(d: Dialect, tokens: str, n: str) -> str:
     """
     if d.name == "spark":
         # sequence() over BIGINT bounds yields BIGINT lambda vars;
-        # element_at requires INT
+        # element_at requires INT. The n < 3 case is guarded IN the
+        # template: Spark's sequence(1, 0) is DESCENDING ([1, 0]) and
+        # element_at(_, 0) throws, while DuckDB's range(1, n-1) is
+        # empty — without the CASE the two dialects would disagree on
+        # short docs and the divergence would hide in each caller's
+        # WHERE filter.
         el = lambda idx: f"element_at({tokens}, CAST({idx} AS INT))"
         body = f"concat_ws(' ', {el('i')}, {el('i + 1')}, {el('i + 2')})"
-        return f"transform(sequence(1, {n} - 2), i -> {body})"
+        return (f"CASE WHEN {n} >= 3 THEN "
+                f"transform(sequence(1, {n} - 2), i -> {body}) "
+                f"ELSE CAST(array() AS array<string>) END")
     el = lambda idx: f"list_extract({tokens}, {idx})"
     body = f"concat_ws(' ', {el('i')}, {el('i + 1')}, {el('i + 2')})"
-    # duckdb range(a, b) is end-exclusive: [1, n-2]
+    # duckdb range(a, b) is end-exclusive: [1, n-2] (empty for n < 3)
     return f"list_transform(range(1, ({n} - 2) + 1), i -> {body})"
 
 

@@ -96,11 +96,19 @@ def lsh_candidate_pairs(vecs: DataFrame, id_col: str = "vec_id",
     bucket quadratic at 10^12 docs. Buckets holding more than
     ``bucket_cap`` members are therefore STAR-LINKED — every member
     pairs with the bucket's minimum id only, O(m) pairs instead of
-    O(m^2) — which preserves connectivity (downstream refine + CC
-    still unions the bucket's near-identical members through the
-    representative) while bounding candidate count at
-    O(bucket_cap * n). Sub-cap buckets keep exact all-pairs semantics;
-    real data never hits the cap (background band collision ~2^-16).
+    O(m^2) — bounding candidate count at O(bucket_cap * n).
+
+    APPROXIMATION CONTRACT above the cap: star pairs preserve CC
+    connectivity only when the representative itself refines as a
+    near-dup of the members (true for the degenerate byte-identical
+    buckets the cap exists for). In a mixed over-cap bucket whose rep
+    is NOT within threshold of two members, the (rep, member) pairs
+    die in the refine and a true (member, member) pair is missed —
+    pair-level completeness above the cap is fundamentally
+    sub-quadratic-impossible, and this trade is the standard one.
+    Sub-cap buckets keep exact all-pairs semantics; real data never
+    hits the cap (background band collision ~2^-16), which is why the
+    gated query can still demand equality with the quadratic oracle.
 
     Signatures are computed ONCE: the windowed size/representative
     frame below is localCheckpoint-ed before fanning out to its three
@@ -144,10 +152,15 @@ def lsh_candidate_pairs(vecs: DataFrame, id_col: str = "vec_id",
 def cosine_refine(pairs: DataFrame, vecs: DataFrame,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   out_a: str = "vec_a", out_b: str = "vec_b",
-                  round_to: int = 6) -> DataFrame:
+                  round_to: int | None = 6) -> DataFrame:
     """(id_a, id_b) -> (out_a, out_b, cosine) with the exact float64
     cosine, vectorized: gather both embeddings (two equi-joins), then one
-    fused einsum per Arrow batch."""
+    fused einsum per Arrow batch.
+
+    ``round_to=None`` returns the RAW cosine — callers that threshold
+    the result must filter on the raw value and round only for output
+    (a pre-rounded cosine within 0.5*10^-round_to of the threshold
+    would pass/fail differently from an oracle filtering raw)."""
     va = vecs.select(F.col(id_col).alias("id_a"),
                      F.col(vec_col).alias("_ea"))
     vb = vecs.select(F.col(id_col).alias("id_b"),
@@ -166,7 +179,7 @@ def cosine_refine(pairs: DataFrame, vecs: DataFrame,
             yield pd.DataFrame({
                 out_a: pdf["id_a"].to_numpy(),
                 out_b: pdf["id_b"].to_numpy(),
-                "cosine": np.round(c, round_to),
+                "cosine": c if round_to is None else np.round(c, round_to),
             })
 
     return joined.mapInPandas(

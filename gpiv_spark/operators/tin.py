@@ -217,8 +217,14 @@ def tin_interpolate(
             return pd.DataFrame(
                 columns=["grid_id", "x", "y", "zp", "var_zp", "found"]
             )
-        # dedupe exact-duplicate XY (degenerate for Delaunay)
-        ppdf = ppdf.drop_duplicates(subset=["x", "y"])
+        # dedupe exact-duplicate XY (degenerate for Delaunay);
+        # sort first so the kept row is deterministic — plain
+        # drop_duplicates keeps whichever duplicate the shuffle
+        # delivered first, so coincident points with different z/TPU
+        # made re-runs nondeterministic
+        ppdf = ppdf.sort_values(
+            list(ppdf.columns), kind="mergesort"
+        ).drop_duplicates(subset=["x", "y"])
         p = ppdf[["x", "y", "z"]].to_numpy(dtype=np.float64)
         tpu = ppdf[TPU_COLS].to_numpy(dtype=np.float64)
         g = gpdf[["x", "y"]].to_numpy(dtype=np.float64)
@@ -291,7 +297,10 @@ def build_triangles(spark: SparkSession, points: DataFrame, cell_res: int = 4,
         cy, cx = divmod(cell, n)
         x_lo, x_hi = _X0 + cx * csize, _X0 + (cx + 1) * csize
         y_lo, y_hi = _Y0 + cy * csize, _Y0 + (cy + 1) * csize
-        pdf = pdf.drop_duplicates(subset=["x", "y"])
+        # deterministic duplicate-XY keeper (see _cell_kernel)
+        pdf = pdf.sort_values(
+            list(pdf.columns), kind="mergesort"
+        ).drop_duplicates(subset=["x", "y"])
         p = pdf[["x", "y", "z"]].to_numpy(dtype=_np.float64)
         tpu = pdf[TPU_COLS].to_numpy(dtype=_np.float64)
         cols = (["tri_id"]
@@ -356,7 +365,9 @@ def build_triangle_ids(spark: SparkSession, points: DataFrame,
         cy, cx = divmod(cell, n)
         x_lo, x_hi = _X0 + cx * csize, _X0 + (cx + 1) * csize
         y_lo, y_hi = _Y0 + cy * csize, _Y0 + (cy + 1) * csize
-        pdf = pdf.drop_duplicates(subset=["x", "y"])
+        # deterministic keeper: min id wins for coincident XY
+        pdf = pdf.sort_values(id_col, kind="mergesort").drop_duplicates(
+            subset=["x", "y"])
         p = pdf[["x", "y"]].to_numpy(dtype=_np.float64)
         pid = pdf[id_col].to_numpy(dtype=_np.int64)
         if len(p) < 3:
@@ -457,7 +468,9 @@ def build_pack_blobs(spark: SparkSession, points: DataFrame,
         for t in TPU_COLS:
             shard[f"p_{t}"] = pdf[t].to_numpy(_np.float64)[own_pt]
 
-        ddf = pdf.drop_duplicates(subset=["x", "y"])
+        # deterministic keeper: min id wins for coincident XY
+        ddf = pdf.sort_values(id_col, kind="mergesort").drop_duplicates(
+            subset=["x", "y"])
         p = ddf[["x", "y"]].to_numpy(_np.float64)
         pid = ddf[id_col].to_numpy(_np.int64)
         tri = dl.delaunay(p) if len(p) >= 3 else _np.empty((0, 3), _np.int64)
@@ -580,6 +593,11 @@ def merge_pack_blobs(blob_rows, index_res: int) -> dict:
     else:
         payloads = [r["payload"] for r in blob_rows]
     shards = [pickle.loads(b) for b in payloads]
+    if not shards:
+        raise ValueError(
+            "merge_pack_blobs: no cell shards — the points input was "
+            "empty (or an only_cells filter matched nothing)"
+        )
 
     def cat(name, dtype):
         return np.concatenate([s[name] for s in shards]).astype(dtype, copy=False)
@@ -858,9 +876,10 @@ def propagate_at(docs_geo: DataFrame, triangles: DataFrame, index_res: int = 7,
     t = F.broadcast(narrow) if broadcast_triangles else narrow
     j = d.join(t, "icell")
 
-    # barycentric containment (boundary-inclusive, CCW triangles)
-    def _sign(px, py, ax, ay, bx, by):
-        return f"(({px} - {bx}) * ({ay} - {by}) - ({ax} - {bx}) * ({py} - {by}))"
+    # barycentric containment (boundary-inclusive, CCW triangles) —
+    # the ONE edge-sign template (pip.edge_sign), not a byte-for-byte
+    # copy that could drift from it
+    from gpiv_spark.operators.pip import edge_sign as _sign
 
     s1 = _sign("x", "y", "x1", "y1", "x2", "y2")
     s2 = _sign("x", "y", "x2", "y2", "x3", "y3")
@@ -917,7 +936,6 @@ def propagate_at(docs_geo: DataFrame, triangles: DataFrame, index_res: int = 7,
 # One Python call per ~64k-doc batch; per-doc cost is pure NumPy.
 # ---------------------------------------------------------------------------
 
-_IDX_CACHE: dict[int, dict] = {}
 
 
 def pack_triangle_index(full_tbl, index_res: int) -> dict:
@@ -1049,8 +1067,11 @@ def _probe_batch_core(idx: dict, x: np.ndarray, y: np.ndarray,
     s = sel[found]
     cx, cy, cz = centroid
     v = {}
+    # one (m,3) vertex-id gather, shared with the E3 loop below (it was
+    # re-gathered 3x per chunk — wasted DRAM traffic in the kernel the
+    # PROBE_CHUNK cache blocking exists to keep bandwidth-lean)
+    tvs = idx["tv"][s] if idx.get("normalized") else None
     if idx.get("normalized"):
-        tvs = idx["tv"][s]
         for k in (1, 2, 3):
             vk = tvs[:, k - 1]
             v[f"x{k}"] = idx[f"x{k}"][s] - cx
@@ -1093,7 +1114,7 @@ def _probe_batch_core(idx: dict, x: np.ndarray, y: np.ndarray,
     for k in range(3):
         dx, dy, dz = dmat[3 * k], dmat[3 * k + 1], dmat[3 * k + 2]
         if idx.get("normalized"):
-            vk = idx["tv"][s][:, k]
+            vk = tvs[:, k]
             tp = {t: idx[f"p_{t}"][vk] for t in TPU_COLS}
         else:
             tp = {t: idx[f"{t}_{k + 1}"][s] for t in TPU_COLS}

@@ -1008,8 +1008,13 @@ def q_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the planted-copy union shares its perturbation math with the oracle
     allv = spark.sql(f"WITH {_neardup_allv_cte(SPARK)} SELECT * FROM allv")
     cand = lsh_candidate_pairs(allv, n_bands=8, bits=16)
-    return cosine_refine(cand, allv).filter(
-        F.col("cosine") >= _NEARDUP_LSH_T
+    # threshold on the RAW cosine, round only for output — exactly the
+    # oracle's filter-then-round order (a pre-rounded value within
+    # 5e-7 of the threshold would otherwise pass/fail differently)
+    return (
+        cosine_refine(cand, allv, round_to=None)
+        .filter(F.col("cosine") >= _NEARDUP_LSH_T)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
     )
 
 
