@@ -85,6 +85,12 @@ def _read_ifd(data: bytes, e: str, off: int) -> dict[int, tuple]:
     for i in range(n):
         tag, typ, cnt = struct.unpack_from(e + "HHI", data, off + 2 + i * 12)
         vo = off + 10 + i * 12
+        if typ not in fmts:
+            # TIFF 6.0 §2: readers must SKIP fields with unknown types
+            # (e.g. RATIONAL XResolution tags many writers add); none of
+            # the tags read_geotiff requires uses a type outside fmts,
+            # so skipping cannot hide a missing required tag
+            continue
         nbytes = sizes.get(typ, 4) * cnt
         if nbytes > 4:
             (vo,) = struct.unpack_from(e + "I", data, vo)
@@ -131,6 +137,11 @@ def read_geotiff(path: str) -> tuple[np.ndarray, dict]:
             raw = data[o : o + c]
             if comp == 5:
                 raw = _lzw_decode(raw)
+            if len(raw) < tw * th * 8:
+                raise ValueError(
+                    f"truncated tile {i}: {len(raw)} bytes decoded, "
+                    f"{tw * th * 8} needed — corrupt or short file"
+                )
             tile = np.frombuffer(raw, dtype=e + "f8",
                                  count=tw * th).reshape(th, tw)
             ty, tx = divmod(i, ntx)
@@ -147,6 +158,11 @@ def read_geotiff(path: str) -> tuple[np.ndarray, dict]:
                 raw = _lzw_decode(raw)
             r0 = i * rps
             nrows = min(rps, h - r0)
+            if len(raw) < nrows * w * 8:
+                raise ValueError(
+                    f"truncated strip {i}: {len(raw)} bytes decoded, "
+                    f"{nrows * w * 8} needed — corrupt or short file"
+                )
             arr[r0 : r0 + nrows] = np.frombuffer(
                 raw, dtype=e + "f8", count=nrows * w
             ).reshape(nrows, w)

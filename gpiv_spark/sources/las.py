@@ -55,6 +55,27 @@ def _pad(s: bytes, n: int) -> bytes:
     return s[:n] + b"\x00" * (n - len(s[:n]))
 
 
+def file_id_offsets(df, path_col: str, count_col: str | None = None):
+    """(path, _off) frame: total record count of lexicographically
+    EARLIER files — the shared global-point_id contract of las_table
+    and laz_table (both must offset identically or ids diverge between
+    the readers). ``count_col=None`` counts rows of ``df`` per path;
+    otherwise sums that column (e.g. per-chunk counts)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.orderBy(path_col).rowsBetween(Window.unboundedPreceding, -1)
+    per = (
+        df.groupBy(path_col).count().withColumnRenamed("count", "_n")
+        if count_col is None
+        else df.groupBy(path_col).agg(F.sum(count_col).alias("_n"))
+    )
+    return (
+        per.withColumn("_off", F.coalesce(F.sum("_n").over(w), F.lit(0)))
+        .select(path_col, "_off")
+    )
+
+
 def _build_points(x, y, z, extra: dict, scale: float):
     """Scaled struct records + (offset, minmax) shared by the LAS and
     LAZ writers."""
@@ -66,9 +87,19 @@ def _build_points(x, y, z, extra: dict, scale: float):
            float(z.min()) if n else 0.0)
     dt = _point_dtype(len(extra), list(extra))
     pts = np.zeros(n, dtype=dt)
-    pts["X"] = np.round((x - off[0]) / scale).astype(np.int64)
-    pts["Y"] = np.round((y - off[1]) / scale).astype(np.int64)
-    pts["Z"] = np.round((z - off[2]) / scale).astype(np.int64)
+    sx = np.round((x - off[0]) / scale).astype(np.int64)
+    sy = np.round((y - off[1]) / scale).astype(np.int64)
+    sz = np.round((z - off[2]) / scale).astype(np.int64)
+    hi = np.int64(2**31 - 1)
+    if n and max(sx.max(), sy.max(), sz.max()) > hi:
+        # LAS point records store int32 counts: assigning a larger
+        # int64 into the i4 field silently WRAPS (coordinates off by
+        # ~2^31*scale on read-back) — refuse instead
+        raise ValueError(
+            f"coordinate span / scale ({scale}) exceeds the LAS int32 "
+            "count range; use a coarser scale_factor"
+        )
+    pts["X"], pts["Y"], pts["Z"] = sx, sy, sz
     pts["rn"] = 0b00001001  # 1 return, return number 1
     for name, arr in extra.items():
         pts[name] = np.asarray(arr, np.float64)
@@ -287,14 +318,7 @@ def las_table(spark, path: str):
     # scale the per-file counts would come from table metadata instead.
     # global ids: offset each file's local ids by the total count of
     # lexicographically-earlier files (two tiny aggs on file metadata)
-    from pyspark.sql import Window
-
-    w = Window.orderBy("_path").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        parsed.groupBy("_path").count()
-        .withColumn("_off", F.coalesce(F.sum("count").over(w), F.lit(0)))
-        .select("_path", "_off")
-    )
+    offsets = file_id_offsets(parsed, "_path")
     return (
         parsed.join(F.broadcast(offsets), "_path")
         .withColumn("point_id", F.col("point_id") + F.col("_off"))

@@ -451,10 +451,12 @@ def decompress_chunk(buf: bytes, n_points: int,
     return out
 
 
-def laszip_vlr_body(rec_len: int, n_extra: int, chunk_size: int) -> bytes:
+def laszip_vlr_body(n_extra: int, chunk_size: int) -> bytes:
     """The ``laszip encoded``/22204 VLR payload (public LAZ layout):
     compressor=2 (pointwise-chunked), coder=0 (arithmetic), version,
-    chunk size, item list: POINT10 v2 + BYTE v2 for extra dims."""
+    chunk size, item list: POINT10 v2 + BYTE v2 for extra dims. Item
+    sizes derive from HDR_FMT0_LEN + n_extra — there is no independent
+    rec_len to pass (a stale one would desync the VLR from the data)."""
     items = [(6, HDR_FMT0_LEN, 2)]  # POINT10
     if n_extra:
         items.append((0, 8 * n_extra, 2))  # BYTE
@@ -506,7 +508,7 @@ def write_laz(x: np.ndarray, y: np.ndarray, z: np.ndarray,
     extra = extra or {}
     pts, off, minmax = _build_points(x, y, z, extra, scale)
     rec_len = HDR_FMT0_LEN + 8 * len(extra)
-    lz_body = laszip_vlr_body(rec_len, len(extra), chunk_size)
+    lz_body = laszip_vlr_body(len(extra), chunk_size)
     vlrs = (
         struct.pack("<H", 0) + _pad(b"laszip encoded", 16)
         + struct.pack("<HH", LAZ_VLR_RECORD, len(lz_body))
@@ -601,13 +603,12 @@ def laz_table(spark, path: str, tasks: int | None = None):
     # content is pruned away — the planning job moves paths, not bytes
     splits = files.select("path").mapInPandas(plan, SPLIT_SCHEMA)
     # per-file global-id offsets: total counts of lexicographically
-    # earlier files (tiny aggregate over the split list, never points)
-    w = Window.orderBy("path").rowsBetween(Window.unboundedPreceding, -1)
-    file_offs = (
-        splits.groupBy("path").agg(F.sum("count").alias("_n"))
-        .withColumn("_off", F.coalesce(F.sum("_n").over(w), F.lit(0)))
-        .select("path", "_off")
-    )
+    # earlier files (tiny aggregate over the split list, never points);
+    # SHARED with las_table so both readers' point_id contracts cannot
+    # drift
+    from .las import file_id_offsets
+
+    file_offs = file_id_offsets(splits, "path", count_col="count")
     splits = (
         splits.join(F.broadcast(file_offs), "path")
         .withColumn("gid0", F.col("gid0") + F.col("_off")).drop("_off")

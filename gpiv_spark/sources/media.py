@@ -60,6 +60,14 @@ def decode_wav(blob: bytes) -> dict:
     while pos + 8 <= len(blob):
         cid = blob[pos : pos + 4]
         (size,) = struct.unpack_from("<I", blob, pos + 4)
+        if pos + 8 + size > len(blob):
+            # declared chunk size exceeds the bytes present: a
+            # truncated blob must FAIL, not silently decode to fewer
+            # samples with wrong rms/duration
+            raise MediaFormatError(
+                f"truncated {cid!r} chunk: declares {size} bytes, "
+                f"{len(blob) - pos - 8} present"
+            )
         body = blob[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt_tag, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
@@ -493,8 +501,16 @@ def decode_features_batches(batches):
             nbytes[i] = len(b)
             if kind == "audio":
                 feats[i] = decode_wav(b)["rms"]
-            else:
+            elif kind == "image":
                 feats[i] = decode_bmp(b)["mean_luma"]
+            else:
+                # explicit dispatch: a new kind (video exists in this
+                # module) must fail NAMING the kind, not crash the
+                # whole stage with decode_bmp's "not a BMP blob"
+                raise MediaFormatError(
+                    f"no feature decoder for media kind {kind!r} "
+                    f"(doc_id {int(pdf['doc_id'].iloc[i])})"
+                )
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],

@@ -115,8 +115,12 @@ def write_raster_tiles(raster: DataFrame, out_dir: str, tile: int = 128,
     """
     out = Path(out_dir)
     (
-        raster.withColumn("tile_r", (F.col("row") / tile).cast("int"))
-        .withColumn("tile_c", (F.col("col") / tile).cast("int"))
+        # floor, not float-divide + truncating cast: truncation maps
+        # rows -1..-(tile-1) into tile 0 alongside rows 0..tile-1, so a
+        # window extended past the origin would prune to the WRONG tile
+        # (the CLAUDE.md truncating-division trap)
+        raster.withColumn("tile_r", F.floor(F.col("row") / tile).cast("int"))
+        .withColumn("tile_c", F.floor(F.col("col") / tile).cast("int"))
         .write.mode("overwrite")
         .partitionBy("tile_r", "tile_c")
         .parquet(str(out / "tiles"))

@@ -84,7 +84,7 @@ def test_laz_container_shape():
     blob = write_laz(x, y, z, _tpu(50))
     assert blob[:4] == b"LASF"
     assert blob[104] & 0x80  # compressed point format
-    info = parse_laszip_vlr(laszip_vlr_body(68, 6, 50_000))
+    info = parse_laszip_vlr(laszip_vlr_body(6, 50_000))
     assert info["compressor"] == 2 and info["coder"] == 0
     assert info["chunk_size"] == 50_000
     # POINT10 + BYTE items, sizes 20 and 48
