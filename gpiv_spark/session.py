@@ -9,8 +9,18 @@ for the pandas-UDF kernels, shuffle partitions sized to parallelism
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+# Directory holding the worker-side sitecustomize (zipimporter
+# invalidate_caches mtime guard — see workerenv/sitecustomize.py).
+# Appended to the Python workers' PYTHONPATH below: python 3.11 worker
+# processes otherwise re-read every zip archive's central directory at
+# the START OF EVERY TASK (pyspark.worker calls
+# importlib.invalidate_caches() per task), measured at 130-380 ms/task
+# — the bulk of the per-task Python handshake floor.
+_WORKERENV = str(Path(__file__).resolve().parent / "workerenv")
 
 
 def get_spark(app: str = "gpiv_spark", cpus: int | None = None,
@@ -19,9 +29,15 @@ def get_spark(app: str = "gpiv_spark", cpus: int | None = None,
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = 2 * cpus
+    # preserve any caller-provided worker PYTHONPATH entries
+    worker_pp = os.pathsep.join(
+        p for p in (os.environ.get("SPARK_GRAFT_WORKER_PYTHONPATH", ""),
+                    _WORKERENV) if p
+    )
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
+        .config("spark.executorEnv.PYTHONPATH", worker_pp)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # floor for AQE partition coalescing (parallelismFirst): keeps
         # CPU-bound pandas-UDF stages at >= 4 tasks/core even when the
