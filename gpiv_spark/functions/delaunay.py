@@ -20,7 +20,19 @@ import numpy as np
 
 
 def delaunay(points: np.ndarray) -> np.ndarray:
-    """Triangulate (n,2) points -> (m,3) int32 vertex-index triples (CCW)."""
+    """Triangulate (n,2) points -> (m,3) int32 vertex-index triples (CCW).
+
+    The insertion loop runs in a compiled C core when available
+    (functions/_delaunay_core.c — an exact port: same insertion order,
+    same float expression order, same tie handling, so the output is
+    bit-identical to the NumPy loop below, which remains both the
+    reference twin and the fallback; tests/test_delaunay_c.py asserts
+    array equality across fixture shapes). The C core exists because
+    the NumPy loop pays ~40 us/insertion of interpreter+temporary
+    overhead and streams full-range temporaries through DRAM, which
+    made the 32-worker pack build memory-bandwidth-bound (round-6
+    profiling: ~450 core-s at 1.6M points vs ~25 in C).
+    """
     pts = np.asarray(points, dtype=np.float64)
     n = len(pts)
     if n < 3:
@@ -40,6 +52,14 @@ def delaunay(points: np.ndarray) -> np.ndarray:
         [[cx - span, cy - span * 0.5], [cx + span, cy - span * 0.5], [cx, cy + span]]
     )
     allp = np.vstack([pts, sup])
+
+    from gpiv_spark.functions import _delaunay_cc
+
+    lib = _delaunay_cc.load()
+    if lib is not None:
+        out = _delaunay_c(lib, pts, allp, n)
+        if out is not None:
+            return out
 
     # Preallocated triangle store (capacity-doubling, free-slot reuse):
     # per-insertion cost is ONE vectorized circumcircle test over the
@@ -139,6 +159,63 @@ def delaunay(points: np.ndarray) -> np.ndarray:
     cwmask = _cross(a, b, c) < 0
     out[cwmask, 1], out[cwmask, 2] = out[cwmask, 2].copy(), out[cwmask, 1].copy()
     return out.astype(np.int32)
+
+
+def _delaunay_c(lib, pts: np.ndarray, allp: np.ndarray,
+                n: int) -> np.ndarray | None:
+    """Drive the C insertion core; postprocessing (live-row filter,
+    super-vertex drop, CCW canonicalization) matches the NumPy loop
+    verbatim. Returns None if the core reports an unexpected state."""
+    import ctypes
+
+    order = np.argsort((np.arange(n, dtype=np.int64) * 2654435761) % 4294967296)
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    pts_c = np.ascontiguousarray(pts)
+    allp_c = np.ascontiguousarray(allp)
+    cap = max(4 * n + 16, 64)
+    for _ in range(8):  # capacity-doubling retries, like np.resize growth
+        tri = np.empty((cap, 3), dtype=np.int64)
+        ccx = np.empty(cap)
+        ccy = np.empty(cap)
+        rr = np.empty(cap)
+        alive = np.zeros(cap, dtype=np.uint8)
+        tri[0] = (n, n + 1, n + 2)
+        c0, r0 = _circumcircles(allp_c, tri[0:1])
+        ccx[0], ccy[0] = c0[0, 0], c0[0, 1]
+        rr[0] = r0[0]
+        alive[0] = 1
+        bad_buf = np.empty(cap, dtype=np.int64)
+        free_stack = np.empty(cap, dtype=np.int64)
+        edge_buf = np.empty(15 * (cap + 4), dtype=np.int64)
+        hi = lib.gpiv_delaunay_core(
+            pts_c.ctypes.data_as(ctypes.c_void_p),
+            allp_c.ctypes.data_as(ctypes.c_void_p),
+            order.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(n),
+            tri.ctypes.data_as(ctypes.c_void_p),
+            ccx.ctypes.data_as(ctypes.c_void_p),
+            ccy.ctypes.data_as(ctypes.c_void_p),
+            rr.ctypes.data_as(ctypes.c_void_p),
+            alive.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(cap),
+            free_stack.ctypes.data_as(ctypes.c_void_p),
+            bad_buf.ctypes.data_as(ctypes.c_void_p),
+            edge_buf.ctypes.data_as(ctypes.c_void_p),
+        )
+        if hi == -1:
+            cap *= 2
+            continue
+        if hi <= 0:
+            return None
+        live = tri[:hi][alive[:hi].astype(bool)]
+        real = (live < n).all(axis=1)
+        out = live[real]
+        a, b, c = allp[out[:, 0]], allp[out[:, 1]], allp[out[:, 2]]
+        cwmask = _cross(a, b, c) < 0
+        out[cwmask, 1], out[cwmask, 2] = (
+            out[cwmask, 2].copy(), out[cwmask, 1].copy())
+        return out.astype(np.int32)
+    return None
 
 
 def _cross(a, b, c):

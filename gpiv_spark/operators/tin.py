@@ -403,44 +403,14 @@ PACK_BLOB_SCHEMA = ("cell long, n_pts long, n_tri long, n_pairs long, "
                     "n_uncert long, n_outside long, payload binary")
 
 
-def build_pack_blobs(spark: SparkSession, points: DataFrame,
-                     cell_res: int = 4, index_res: int = 9,
-                     halo_m: float | None = None,
-                     id_col: str = "point_id",
-                     only_cells: list[int] | None = None,
-                     edge_halo_m: float | None = None) -> DataFrame:
-    """Distributed pack build: one kernel call per coarse cell does the
-    local Delaunay AND packs its shard of the broadcast index — owned
-    points (no dedupe: any pid a neighbor cell's triangle references
-    must resolve), owned triangles as global-pid refs, and each owned
-    triangle's fine-cell bbox covering pairs. The driver's only job is
-    concatenation + two O(n log n) sorts (merge_pack_blobs) — no
-    toArrow() of the full triangle/point tables, no single-threaded
-    covering computation (kills the round-1 scale/Amdahl bottleneck
-    flagged at tin.py:722/bench.py:68).
-    """
+def _make_cell_blob_kernel(n: int, csize: float, nf: int, fs: float,
+                           halo_eff: float, edge_eff: float, id_col: str):
+    """Factory for the per-cell pack kernel (shared by the ring-1 pass
+    of build_pack_blobs and the wide-reach certify retries of
+    build_pack_blobs_at_cells). ``halo_eff``/``edge_eff`` are the halo
+    the CERTIFICATE may claim — callers must guarantee the fan-in
+    actually delivered every point within that distance of the cell."""
     import pickle
-
-    n = 1 << cell_res
-    nf = 1 << index_res
-    fs = _EXT / nf
-    csize = _EXT / n
-    # The halo the CERTIFICATE may claim is capped at csize:
-    # fan_out_points only ever reaches the 8-neighbor ring, so the
-    # seen region is cell + csize no matter how large halo_m is — a
-    # larger claimed halo would certify triangles against points the
-    # kernel never saw (the retry path in build_broadcast_pack caps
-    # its halos the same way; this clamp closes the caller-supplied
-    # halo_m > csize hole on the first pass).
-    halo_eff = min(csize, csize if halo_m is None else halo_m)
-    edge_eff = min(csize, halo_eff if edge_halo_m is None else edge_halo_m)
-    pts = fan_out_points(spark, points, cell_res, halo_m,
-                         extra_cols=(id_col,), edge_halo_m=edge_halo_m)
-    if only_cells is not None:
-        # certify-retry path: re-derive just these cells' shards (the
-        # filter sits before the exchange, so only their fan-in rows
-        # shuffle)
-        pts = pts.filter(F.col("cell").isin([int(c) for c in only_cells]))
 
     def _cell_blob(key, pdf):
         import numpy as _np
@@ -460,6 +430,7 @@ def build_pack_blobs(spark: SparkSession, points: DataFrame,
         ay = pdf["y"].to_numpy(_np.float64)
         own_pt = (ax >= px_lo) & (ax < px_hi) & (ay >= py_lo) & (ay < py_hi)
         shard = {
+            "cell": cell,  # lets merge_pack_blobs order shards by cell
             "pid": pdf[id_col].to_numpy(_np.int64)[own_pt],
             "px": ax[own_pt],
             "py": ay[own_pt],
@@ -572,7 +543,106 @@ def build_pack_blobs(spark: SparkSession, points: DataFrame,
             }
         )
 
+    return _cell_blob
+
+
+def build_pack_blobs(spark: SparkSession, points: DataFrame,
+                     cell_res: int = 4, index_res: int = 9,
+                     halo_m: float | None = None,
+                     id_col: str = "point_id",
+                     only_cells: list[int] | None = None,
+                     edge_halo_m: float | None = None) -> DataFrame:
+    """Distributed pack build: one kernel call per coarse cell does the
+    local Delaunay AND packs its shard of the broadcast index — owned
+    points (no dedupe: any pid a neighbor cell's triangle references
+    must resolve), owned triangles as global-pid refs, and each owned
+    triangle's fine-cell bbox covering pairs. The driver's only job is
+    concatenation + two O(n log n) sorts (merge_pack_blobs) — no
+    toArrow() of the full triangle/point tables, no single-threaded
+    covering computation (kills the round-1 scale/Amdahl bottleneck
+    flagged at tin.py:722/bench.py:68).
+    """
+    n = 1 << cell_res
+    nf = 1 << index_res
+    fs = _EXT / nf
+    csize = _EXT / n
+    # The halo the CERTIFICATE may claim is capped at csize:
+    # fan_out_points only ever reaches the 8-neighbor ring, so the
+    # seen region is cell + csize no matter how large halo_m is — a
+    # larger claimed halo would certify triangles against points the
+    # kernel never saw (wide-reach retries go through
+    # build_pack_blobs_at_cells, whose fan-in honors any halo; this
+    # clamp closes the caller-supplied halo_m > csize hole here).
+    halo_eff = min(csize, csize if halo_m is None else halo_m)
+    edge_eff = min(csize, halo_eff if edge_halo_m is None else edge_halo_m)
+    pts = fan_out_points(spark, points, cell_res, halo_m,
+                         extra_cols=(id_col,), edge_halo_m=edge_halo_m)
     npart = PACK_TASKS
+    if only_cells is not None:
+        # certify-retry path: re-derive just these cells' shards. A
+        # per-cell bbox prefilter on the POINTS (before the 9-way
+        # neighbor cross join) keeps the retry's JVM scan proportional
+        # to the failed region, and the task count tracks the retry's
+        # actual group count instead of paying PACK_TASKS handshakes
+        # for a handful of cells (task count stays data-derived, never
+        # cores-derived — the granularity discipline in CLAUDE.md).
+        reach = max(halo_eff, edge_eff) + csize
+        pre = " OR ".join(
+            f"(x >= {_X0 + (c % n) * csize - reach!r} AND "
+            f"x < {_X0 + (c % n + 1) * csize + reach!r} AND "
+            f"y >= {_Y0 + (c // n) * csize - reach!r} AND "
+            f"y < {_Y0 + (c // n + 1) * csize + reach!r})"
+            for c in only_cells[:64]
+        )
+        if pre and len(only_cells) <= 64:
+            points = points.filter(F.expr(pre))
+            pts = fan_out_points(spark, points, cell_res, halo_m,
+                                 extra_cols=(id_col,),
+                                 edge_halo_m=edge_halo_m)
+        pts = pts.filter(F.col("cell").isin([int(c) for c in only_cells]))
+        npart = max(8, min(PACK_TASKS, 4 * len(only_cells)))
+
+    _cell_blob = _make_cell_blob_kernel(n, csize, nf, fs, halo_eff,
+                                        edge_eff, id_col)
+    return (
+        pts.repartition(npart, "cell")
+        .groupBy("cell")
+        .applyInPandas(_cell_blob, PACK_BLOB_SCHEMA)
+    )
+
+
+def build_pack_blobs_at_cells(spark: SparkSession, points: DataFrame,
+                              cells: list[int], cell_res: int,
+                              index_res: int, halo_m: float,
+                              id_col: str = "point_id") -> DataFrame:
+    """Wide-reach certify retry: rebuild the given cells' shards with a
+    halo that may exceed the 8-neighbor ring's reach. Fan-in is a
+    broadcast join of points against the (tiny) failed-cell list — each
+    point reaches every listed cell whose bbox it lies within ``halo_m``
+    of (Chebyshev distance, the same per-axis rule fan_out_points
+    applies inside the ring). Cost is O(n_points * n_cells) predicate
+    work with no 9-way row multiplication, so escalating the halo all
+    the way to the full extent stays a bounded, targeted job instead of
+    the old global grid-coarsen rebuild."""
+    n = 1 << cell_res
+    nf = 1 << index_res
+    fs = _EXT / nf
+    csize = _EXT / n
+    cell_rows = [(int(c),
+                  _X0 + (int(c) % n) * csize, _X0 + (int(c) % n + 1) * csize,
+                  _Y0 + (int(c) // n) * csize, _Y0 + (int(c) // n + 1) * csize)
+                 for c in cells]
+    tgt = spark.createDataFrame(
+        cell_rows, "cell long, cx_lo double, cx_hi double, "
+        "cy_lo double, cy_hi double")
+    keep = (f"(x >= cx_lo - {halo_m!r} AND x < cx_hi + {halo_m!r} "
+            f"AND y >= cy_lo - {halo_m!r} AND y < cy_hi + {halo_m!r})")
+    pts = (points.crossJoin(F.broadcast(tgt))
+           .filter(F.expr(keep))
+           .select("cell", id_col, "x", "y", "z", *TPU_COLS))
+    _cell_blob = _make_cell_blob_kernel(n, csize, nf, fs, halo_m, halo_m,
+                                        id_col)
+    npart = max(8, min(PACK_TASKS, 4 * len(cells)))
     return (
         pts.repartition(npart, "cell")
         .groupBy("cell")
@@ -598,12 +668,21 @@ def merge_pack_blobs(blob_rows, index_res: int) -> dict:
             "merge_pack_blobs: no cell shards — the points input was "
             "empty (or an only_cells filter matched nothing)"
         )
+    # Cell-ascending shard order makes the concatenated tri_id column
+    # ALREADY sorted (tri_id = cell*(1<<24) + arange), which deletes
+    # the 3M-row triangle argsort + inverse-permutation gathers, and
+    # makes the concatenated covering pairs pre-sorted by global tri
+    # row — so the (icell, tri) order the probe needs is ONE stable
+    # radix pass on the short icell key instead of an introsort on a
+    # 64-bit composite. Bit-identical pack (r6; shards carry their
+    # cell since the same round).
+    shards.sort(key=lambda s: s["cell"])
 
     def cat(name, dtype):
         return np.concatenate([s[name] for s in shards]).astype(dtype, copy=False)
 
     pid = cat("pid", np.int64)
-    order = np.argsort(pid, kind="stable")
+    order = np.argsort(pid, kind="stable")  # radix for ints: ~3x introsort
     pid_sorted = pid[order]
     pack = {"nf": nf, "normalized": True}
     pack["px"] = cat("px", np.float64)[order]
@@ -613,7 +692,9 @@ def merge_pack_blobs(blob_rows, index_res: int) -> dict:
         pack[f"p_{t}"] = cat(f"p_{t}", np.float64)[order]
 
     tri_id = cat("tri_id", np.int64)
-    torder = np.argsort(tri_id, kind="stable")
+    n_tri = len(tri_id)
+    assert n_tri < 2 or (np.diff(tri_id) > 0).all(), (
+        "tri_id not globally ascending after cell-sorted shard concat")
     # pid -> sorted-row lookup: dense inverse table when ids are compact
     # (O(1) gathers), searchsorted fallback for sparse id spaces
     lo = int(pid_sorted[0]) if len(pid_sorted) else 0
@@ -625,9 +706,9 @@ def merge_pack_blobs(blob_rows, index_res: int) -> dict:
         inv_pid = np.empty(hi - lo + 1, dtype=np.int32)
         inv_pid[pid_sorted - lo] = np.arange(len(pid_sorted),
                                              dtype=np.int32)
-    tv = np.empty((len(torder), 3), dtype=np.int32)
+    tv = np.empty((n_tri, 3), dtype=np.int32)
     for k in range(3):
-        vk = cat(f"v{k + 1}", np.int64)[torder]
+        vk = cat(f"v{k + 1}", np.int64)
         if dense:
             tv[:, k] = inv_pid[vk - lo]
         else:
@@ -639,29 +720,95 @@ def merge_pack_blobs(blob_rows, index_res: int) -> dict:
         pack[f"x{k + 1}"] = pack["px"][tv[:, k]]
         pack[f"y{k + 1}"] = pack["py"][tv[:, k]]
 
-    # pairs reference blob-local triangle rows; lift to global sorted
-    # rows (int32 throughout: triangle counts are < 2^31 by the pack's
-    # own tri_id layout, and halving the bandwidth matters at 10^7 pairs)
-    tinv = np.empty(len(torder), dtype=np.int32)
-    tinv[torder] = np.arange(len(torder), dtype=np.int32)
+    # pairs reference blob-local triangle rows; lift to global rows
+    # (int32 throughout: triangle counts are < 2^31 by the pack's own
+    # tri_id layout, and halving the bandwidth matters at 10^7 pairs)
     bases = np.cumsum([0] + [len(s["tri_id"]) for s in shards[:-1]],
                       dtype=np.int64)
     pair_tri = np.concatenate(
         [s["pair_tri"].astype(np.int32) + np.int32(b)
          for s, b in zip(shards, bases)]
     )
-    pair_tri = tinv[pair_tri]
     pair_icell = cat("pair_icell", np.int64)
     # icell-major, tri-row-minor: the probe's reversed scan then picks
     # the LOWEST tri row (= min tri_id) per doc, same as the old pack.
-    # composite int64 key = one sort instead of lexsort's two; keys are
-    # unique ((tri, icell) covering pairs never repeat), so the
-    # default introsort gives the same order as a stable sort
-    porder = np.argsort((pair_icell << 32) | pair_tri)
+    # pair_tri is globally ascending (cell-sorted shards, in-shard
+    # covering order), so a STABLE sort on icell alone preserves the
+    # tri-minor order — numpy's stable int sort is a radix sort.
+    porder = np.argsort(pair_icell, kind="stable")
     counts = np.bincount(pair_icell, minlength=nf * nf)
     pack["offsets"] = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
     pack["cell_tri"] = pair_tri[porder]
     return pack
+
+
+# Per-process cache of opened pack views (worker processes are reused
+# across tasks; the mmap views live as long as the handle's directory
+# key stays cached).
+_PACK_CACHE: dict = {}
+
+
+class PackFileHandle:
+    """Broadcast-compatible handle (.value / .destroy / .unpersist) for
+    a merged TIN pack, backed by one .npy file per array + mmap.
+
+    Why not sc.broadcast(pack): the pickled broadcast cost 2.5-4 s of
+    serial driver time at a 336 MB pack (1.6M points), and every
+    reused worker process then held its OWN unpickled copy — 32
+    workers x 336 MB = 10.7 GB of duplicated, cache-hostile heap. The
+    file handle writes the arrays once (page cache), ships only the
+    directory path + tiny metadata in the task closure, and every
+    worker maps the SAME physical pages read-only (np.load
+    mmap_mode='r'). On a real cluster the constructor registers the
+    directory with sc.addFile(recursive=True) so executors fetch it
+    once per node — the same per-node distribution a TorrentBroadcast
+    gives, minus the per-process deserialization.
+    """
+
+    def __init__(self, spark: SparkSession, pack: dict):
+        import os
+        import tempfile
+
+        self._dir = tempfile.mkdtemp(prefix="gpiv_pack_")
+        meta = {}
+        arrays = []
+        for k, v in pack.items():
+            if isinstance(v, np.ndarray):
+                np.save(os.path.join(self._dir, f"{k}.npy"), v)
+                arrays.append(k)
+            else:
+                meta[k] = v
+        self._meta = meta
+        self._arrays = arrays
+        if not spark.sparkContext.master.startswith("local"):
+            spark.sparkContext.addFile(self._dir, recursive=True)
+
+    @property
+    def value(self) -> dict:
+        import os
+
+        d = _PACK_CACHE.get(self._dir)
+        if d is None:
+            base = self._dir
+            if not os.path.isdir(base):  # executor without shared fs
+                from pyspark import SparkFiles
+
+                base = SparkFiles.get(os.path.basename(self._dir))
+            d = dict(self._meta)
+            for k in self._arrays:
+                d[k] = np.load(os.path.join(base, f"{k}.npy"),
+                               mmap_mode="r")
+            _PACK_CACHE[self._dir] = d
+        return d
+
+    def destroy(self, blocking: bool = False) -> None:
+        import shutil
+
+        _PACK_CACHE.pop(self._dir, None)
+        shutil.rmtree(self._dir, ignore_errors=True)
+
+    def unpersist(self, blocking: bool = False) -> None:
+        _PACK_CACHE.pop(self._dir, None)
 
 
 def build_broadcast_pack(spark: SparkSession, points: DataFrame,
@@ -688,7 +835,7 @@ def build_broadcast_pack(spark: SparkSession, points: DataFrame,
         blobs = build_pack_blobs(spark, points, cell_res, index_res,
                                  halo_m, id_col)
         pack = merge_pack_blobs(blobs.toArrow(), index_res)
-        return spark.sparkContext.broadcast(pack)
+        return PackFileHandle(spark, pack)
 
     # extent-boundary cells get 4x the halo up front: hull slivers
     # along the data edge are where the certificate fails in practice,
@@ -710,14 +857,23 @@ def build_broadcast_pack(spark: SparkSession, points: DataFrame,
                                arr.column("payload").to_pylist()))
     failed = [c for c, u in zip(arr.column("cell").to_pylist(),
                                 arr.column("n_uncert").to_pylist()) if u]
-    # halo caps at csize: fan_out_points only reaches the 8-neighbor
-    # ring, so a larger claimed halo would certify against points the
-    # kernel never actually saw (unsound).
+    # Repair ladder (round 6 shape): (1) cheap in-ring halo doublings
+    # via only_cells, exactly as before; (2) if failures remain and are
+    # WIDESPREAD (a large share of populated cells), the grid itself is
+    # too fine for the cloud's density — coarsen globally, the round-5
+    # behavior, which also keeps the hull-band completeness of a
+    # coarser rebuild; (3) if only a FEW stubborn cells remain (dense
+    # clouds: hull slivers along the extent edge), rebuild just those
+    # cells with halos beyond the 8-ring's reach
+    # (build_pack_blobs_at_cells) instead of re-running the whole
+    # build one resolution coarser — the old coarsen path measured
+    # ~12 s of the 23 s 8-core/400k-point bench build for ONE stubborn
+    # cell. At halo >= n*csize a retried kernel sees the entire cloud
+    # and the certificate's cell+halo region contains the whole data
+    # bbox, so the targeted loop provably terminates.
     halo_r = min(4.0 * base_halo, csize)
-    tried_full_ring = False
-    while failed and not tried_full_ring:
+    while failed and halo_r < csize:
         halo_r = min(2.0 * halo_r, csize)
-        tried_full_ring = halo_r >= csize
         retry = build_pack_blobs(spark, points, cell_res, index_res,
                                  halo_r, id_col, only_cells=failed,
                                  edge_halo_m=halo_r).toArrow()
@@ -726,21 +882,30 @@ def build_broadcast_pack(spark: SparkSession, points: DataFrame,
         failed = [c for c, u in zip(retry.column("cell").to_pylist(),
                                     retry.column("n_uncert").to_pylist())
                   if u]
-    if failed:
-        # Even the full ring can't certify: the cloud is too sparse for
-        # this grid (circumcircles reach beyond adjacent cells).
-        # Coarsen and rebuild — at cell_res=0 there is a single cell
-        # that sees everything, so this terminates with a certificate.
-        if cell_res > 0:
-            return build_broadcast_pack(spark, points, cell_res - 1,
-                                        index_res, halo_m, id_col,
-                                        certify=True)
-        raise ValueError(
-            f"halo certificate still failing for cells {failed[:8]} at "
-            f"the full-ring halo ({halo_r:.1f} m) on a single-cell grid")
+    if (failed and cell_res > 0
+            and len(failed) > max(2, 0.05 * len(payload_by_cell))):
+        return build_broadcast_pack(spark, points, cell_res - 1,
+                                    index_res, halo_m, id_col,
+                                    certify=True)
+    max_halo = (1 << cell_res) * csize
+    while failed:
+        halo_r = 2.0 * halo_r
+        retry = build_pack_blobs_at_cells(
+            spark, points, failed, cell_res, index_res,
+            min(halo_r, max_halo), id_col).toArrow()
+        payload_by_cell.update(zip(retry.column("cell").to_pylist(),
+                                   retry.column("payload").to_pylist()))
+        failed = [c for c, u in zip(retry.column("cell").to_pylist(),
+                                    retry.column("n_uncert").to_pylist())
+                  if u]
+        if failed and halo_r >= max_halo:
+            raise ValueError(
+                f"halo certificate still failing for cells {failed[:8]} "
+                f"at a whole-extent halo ({halo_r:.1f} m) — unreachable "
+                "unless the certificate itself is broken")
     pack = merge_pack_blobs(
         [{"payload": b} for b in payload_by_cell.values()], index_res)
-    return spark.sparkContext.broadcast(pack)
+    return PackFileHandle(spark, pack)
 
 
 def pack_triangle_index_normalized(tri_tbl, pts_tbl, index_res: int,
@@ -1002,9 +1167,63 @@ def pack_triangle_index(full_tbl, index_res: int) -> dict:
 PROBE_CHUNK = 4096
 
 
+_PROBE_ARGTYPES = None
+
+
+def _probe_c(idx: dict, x: np.ndarray, y: np.ndarray, centroid: tuple):
+    """C probe for normalized packs (functions/_probe_core.c): exact
+    expression-order port — bit-identical to _probe_batch_core, pinned
+    by tests/test_probe_c.py. Returns None when the core is
+    unavailable or the pack is not the normalized layout."""
+    if not idx.get("normalized"):
+        return None
+    import ctypes
+    from pathlib import Path
+
+    from gpiv_spark.functions import _delaunay_cc
+
+    lib = _delaunay_cc.load_lib(
+        Path(_delaunay_cc.__file__).resolve().parent / "_probe_core.c")
+    if lib is None:
+        return None
+    global _PROBE_ARGTYPES
+    fn = lib.gpiv_probe_batch
+    if _PROBE_ARGTYPES is None:
+        V, D, I = ctypes.c_void_p, ctypes.c_double, ctypes.c_int64
+        fn.restype = None
+        fn.argtypes = ([V, V, I, D, D, D, I] + [V] * 16
+                       + [D, D, D] + [V] * 3)
+        _PROBE_ARGTYPES = fn.argtypes
+    n = len(x)
+    zp = np.empty(n)
+    var = np.empty(n)
+    found = np.empty(n, dtype=np.uint8)
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    cx, cy, cz = centroid
+    fn(p(x), p(y), ctypes.c_int64(n),
+       ctypes.c_double(_X0), ctypes.c_double(_Y0), ctypes.c_double(_EXT),
+       ctypes.c_int64(idx["nf"]),
+       p(idx["offsets"]), p(idx["cell_tri"]), p(idx["tv"]),
+       p(idx["x1"]), p(idx["y1"]), p(idx["x2"]), p(idx["y2"]),
+       p(idx["x3"]), p(idx["y3"]), p(idx["pz"]),
+       p(idx["p_var_x"]), p(idx["p_var_y"]), p(idx["p_var_z"]),
+       p(idx["p_cov_xy"]), p(idx["p_cov_xz"]), p(idx["p_cov_yz"]),
+       ctypes.c_double(cx), ctypes.c_double(cy), ctypes.c_double(cz),
+       p(zp), p(var), p(found))
+    return zp, var, found.astype(bool)
+
+
 def _probe_batch(idx: dict, x: np.ndarray, y: np.ndarray,
                  centroid: tuple) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Cache-blocked driver over _probe_batch_core (see PROBE_CHUNK)."""
+    res = _probe_c(idx, x, y, centroid)
+    if res is not None:
+        return res
     n = len(x)
     if n <= PROBE_CHUNK:
         return _probe_batch_core(idx, x, y, centroid)

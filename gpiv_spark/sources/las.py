@@ -207,9 +207,21 @@ def parse_las_layout(head: bytes) -> dict:
     laszip_vlr: bytes | None = None
     pos = header_size
     for _ in range(n_vlr):
+        if pos + 54 > len(head):
+            raise LasFormatError(
+                f"VLR header at {pos} extends past the {len(head)} "
+                "bytes provided — truncated blob, or pass a larger "
+                "header prefix"
+            )
         user_id = head[pos + 2 : pos + 18].rstrip(b"\x00").decode("ascii",
                                                                   "replace")
         rec_id, rlen = struct.unpack_from("<HH", head, pos + 18)
+        if pos + 54 + rlen > len(head):
+            raise LasFormatError(
+                f"VLR body at {pos} ({rlen} B) extends past the "
+                f"{len(head)} bytes provided — truncated blob, or pass "
+                "a larger header prefix"
+            )
         body = head[pos + 54 : pos + 54 + rlen]
         if user_id == "LASF_Spec" and rec_id == 4:
             for k in range(len(body) // 192):

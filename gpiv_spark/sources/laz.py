@@ -59,6 +59,11 @@ class ArithmeticEncoder:
     def _carry(self) -> None:
         i = len(self.out) - 1
         while True:  # standard carry walk; a carry always has bytes to hit
+            if i < 0:
+                # FastAC's invariant makes this unreachable; failing
+                # loudly beats python's negative indexing silently
+                # incrementing the LAST byte and corrupting the stream
+                raise RuntimeError("carry propagated past stream start")
             self.out[i] = (self.out[i] + 1) & 0xFF
             if self.out[i]:
                 return

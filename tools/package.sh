@@ -8,9 +8,12 @@ python - << 'EOF'
 import zipfile
 from pathlib import Path
 
+# *.py plus the C kernel sources (compiled lazily on each node) — NOT
+# the .so (machine-built, md5-keyed) or the lock files.
 with zipfile.ZipFile("dist/gpiv_spark.zip", "w", zipfile.ZIP_DEFLATED) as z:
-    for p in sorted(Path("gpiv_spark").rglob("*.py")):
-        z.write(p, p.as_posix())
+    for pat in ("*.py", "*.c"):
+        for p in sorted(Path("gpiv_spark").rglob(pat)):
+            z.write(p, p.as_posix())
 print("wrote dist/gpiv_spark.zip")
 EOF
 echo "submit example:"
