@@ -400,7 +400,8 @@ def build_triangle_ids(spark: SparkSession, points: DataFrame,
 
 
 PACK_BLOB_SCHEMA = ("cell long, n_pts long, n_tri long, n_pairs long, "
-                    "n_uncert long, n_outside long, payload binary")
+                    "n_uncert long, n_outside long, halo_need double, "
+                    "payload binary")
 
 
 def _make_cell_blob_kernel(n: int, csize: float, nf: int, fs: float,
@@ -446,6 +447,7 @@ def _make_cell_blob_kernel(n: int, csize: float, nf: int, fs: float,
         pid = ddf[id_col].to_numpy(_np.int64)
         tri = dl.delaunay(p) if len(p) >= 3 else _np.empty((0, 3), _np.int64)
         n_uncert = 0
+        halo_need = 0.0
         # strays outside the nominal extent, counted on OWNED points so
         # the per-cell sums add up to the global count (ownership is a
         # partition); any stray voids the certificate's bbox clamp
@@ -501,6 +503,26 @@ def _make_cell_blob_kernel(n: int, csize: float, nf: int, fs: float,
             if cy < n - 1:
                 ok &= _np.minimum(cc[:, 1] + chord_y, by_hi) <= half
             n_uncert = int((~ok).sum())
+            if n_uncert:
+                # the halo at which every CURRENTLY-failing triangle's
+                # clamped circumcircle would fit — lets the driver
+                # retry once at the reported need instead of walking a
+                # blind doubling ladder (a wider build can still
+                # surface new slivers; the driver keeps doubling then)
+                req = _np.zeros(len(tri))
+                if cx > 0:
+                    req = _np.maximum(
+                        req, -_np.maximum(cc[:, 0] - chord_x, bx_lo))
+                if cx < n - 1:
+                    req = _np.maximum(
+                        req, _np.minimum(cc[:, 0] + chord_x, bx_hi))
+                if cy > 0:
+                    req = _np.maximum(
+                        req, -_np.maximum(cc[:, 1] - chord_y, by_lo))
+                if cy < n - 1:
+                    req = _np.maximum(
+                        req, _np.minimum(cc[:, 1] + chord_y, by_hi))
+                halo_need = float(req[~ok].max() - 0.5 * csize)
         shard["tri_id"] = (cell * (1 << 24)
                            + _np.arange(len(tri), dtype=_np.int64))
         for k in range(3):
@@ -538,6 +560,7 @@ def _make_cell_blob_kernel(n: int, csize: float, nf: int, fs: float,
                 "n_tri": [len(tri)],
                 "n_pairs": [len(shard["pair_icell"])],
                 "n_uncert": [n_uncert],
+                "halo_need": [halo_need],
                 "n_outside": [n_outside],
                 "payload": [pickle.dumps(shard, protocol=4)],
             }
@@ -857,6 +880,7 @@ def build_broadcast_pack(spark: SparkSession, points: DataFrame,
                                arr.column("payload").to_pylist()))
     failed = [c for c, u in zip(arr.column("cell").to_pylist(),
                                 arr.column("n_uncert").to_pylist()) if u]
+    halo_need = max(arr.column("halo_need").to_pylist(), default=0.0)
     # Repair ladder (round 6 shape): (1) cheap in-ring halo doublings
     # via only_cells, exactly as before; (2) if failures remain and are
     # WIDESPREAD (a large share of populated cells), the grid itself is
@@ -872,32 +896,46 @@ def build_broadcast_pack(spark: SparkSession, points: DataFrame,
     # and the certificate's cell+halo region contains the whole data
     # bbox, so the targeted loop provably terminates.
     halo_r = min(4.0 * base_halo, csize)
-    while failed and halo_r < csize:
-        halo_r = min(2.0 * halo_r, csize)
-        retry = build_pack_blobs(spark, points, cell_res, index_res,
-                                 halo_r, id_col, only_cells=failed,
-                                 edge_halo_m=halo_r).toArrow()
-        payload_by_cell.update(zip(retry.column("cell").to_pylist(),
-                                   retry.column("payload").to_pylist()))
-        failed = [c for c, u in zip(retry.column("cell").to_pylist(),
-                                    retry.column("n_uncert").to_pylist())
-                  if u]
-    if (failed and cell_res > 0
-            and len(failed) > max(2, 0.05 * len(payload_by_cell))):
-        return build_broadcast_pack(spark, points, cell_res - 1,
-                                    index_res, halo_m, id_col,
-                                    certify=True)
+    few = max(2, 0.05 * len(payload_by_cell))
+    if len(failed) > few:
+        # widespread failures: walk the cheap in-ring ladder first (it
+        # fixes interior cells whose adaptive halo was merely a bit
+        # small), then coarsen if most cells still fail — the grid
+        # itself is too fine for this cloud's density
+        while failed and halo_r < csize:
+            halo_r = min(2.0 * halo_r, csize)
+            retry = build_pack_blobs(spark, points, cell_res, index_res,
+                                     halo_r, id_col, only_cells=failed,
+                                     edge_halo_m=halo_r).toArrow()
+            payload_by_cell.update(zip(retry.column("cell").to_pylist(),
+                                       retry.column("payload").to_pylist()))
+            failed = [c for c, u in zip(retry.column("cell").to_pylist(),
+                                        retry.column("n_uncert").to_pylist())
+                      if u]
+        if failed and cell_res > 0 and len(failed) > few:
+            return build_broadcast_pack(spark, points, cell_res - 1,
+                                        index_res, halo_m, id_col,
+                                        certify=True)
     max_halo = (1 << cell_res) * csize
     while failed:
-        halo_r = 2.0 * halo_r
+        # one wide-reach rebuild of just the stubborn cells, at the
+        # halo the certificate REPORTED it needs (+2% slack) — the old
+        # in-ring-then-blind-doubling chain spent two sequential Spark
+        # jobs (~3 s of the 6 s 8-core/400k bench build) fixing 2
+        # cells. A wider build can surface new slivers with their own
+        # reported need; doubling is the progress guarantee when the
+        # report alone does not grow.
+        halo_r = min(max(1.02 * halo_need, 2.0 * halo_r), max_halo)
         retry = build_pack_blobs_at_cells(
-            spark, points, failed, cell_res, index_res,
-            min(halo_r, max_halo), id_col).toArrow()
+            spark, points, failed, cell_res, index_res, halo_r,
+            id_col).toArrow()
         payload_by_cell.update(zip(retry.column("cell").to_pylist(),
                                    retry.column("payload").to_pylist()))
         failed = [c for c, u in zip(retry.column("cell").to_pylist(),
                                     retry.column("n_uncert").to_pylist())
                   if u]
+        halo_need = max(retry.column("halo_need").to_pylist(),
+                        default=0.0)
         if failed and halo_r >= max_halo:
             raise ValueError(
                 f"halo certificate still failing for cells {failed[:8]} "
