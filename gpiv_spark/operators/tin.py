@@ -704,64 +704,80 @@ def merge_pack_blobs(blob_rows, index_res: int) -> dict:
     def cat(name, dtype):
         return np.concatenate([s[name] for s in shards]).astype(dtype, copy=False)
 
-    pid = cat("pid", np.int64)
-    order = np.argsort(pid, kind="stable")  # radix for ints: ~3x introsort
-    pid_sorted = pid[order]
     pack = {"nf": nf, "normalized": True}
-    pack["px"] = cat("px", np.float64)[order]
-    pack["py"] = cat("py", np.float64)[order]
-    pack["pz"] = cat("pz", np.float64)[order]
-    for t in TPU_COLS:
-        pack[f"p_{t}"] = cat(f"p_{t}", np.float64)[order]
 
-    tri_id = cat("tri_id", np.int64)
-    n_tri = len(tri_id)
-    assert n_tri < 2 or (np.diff(tri_id) > 0).all(), (
-        "tri_id not globally ascending after cell-sorted shard concat")
-    # pid -> sorted-row lookup: dense inverse table when ids are compact
-    # (O(1) gathers), searchsorted fallback for sparse id spaces
-    lo = int(pid_sorted[0]) if len(pid_sorted) else 0
-    hi = int(pid_sorted[-1]) if len(pid_sorted) else 0
-    dense = len(pid_sorted) > 0 and (hi - lo + 1) <= 4 * len(pid_sorted)
-    if dense:
-        # int32 table: the gather then lands in tv's dtype directly
-        # (no 3 int64->int32 astype passes over 3n rows)
-        inv_pid = np.empty(hi - lo + 1, dtype=np.int32)
-        inv_pid[pid_sorted - lo] = np.arange(len(pid_sorted),
-                                             dtype=np.int32)
-    tv = np.empty((n_tri, 3), dtype=np.int32)
-    for k in range(3):
-        vk = cat(f"v{k + 1}", np.int64)
+    # The covering-pair pipeline (concat + radix argsort + gather +
+    # bincount, ~2/3 of the merge's memory traffic) shares no data
+    # with the point/vertex pipeline, and numpy's sorts/gathers
+    # release the GIL — run it on a thread so the driver's serial
+    # merge wall is max(pipelines), not their sum (the merge is the
+    # build's one remaining parallelism-independent term).
+    def _pairs():
+        # pairs reference blob-local triangle rows; lift to global rows
+        # (int32: triangle counts are < 2^31 by the pack's own tri_id
+        # layout, and halving the bandwidth matters at 10^7 pairs)
+        bases = np.cumsum([0] + [len(s["tri_id"]) for s in shards[:-1]],
+                          dtype=np.int64)
+        pair_tri = np.concatenate(
+            [s["pair_tri"].astype(np.int32) + np.int32(b)
+             for s, b in zip(shards, bases)]
+        )
+        pair_icell = cat("pair_icell", np.int64)
+        # icell-major, tri-row-minor: the probe's reversed scan then
+        # picks the LOWEST tri row (= min tri_id) per doc, same as the
+        # old pack. pair_tri is globally ascending (cell-sorted shards,
+        # in-shard covering order), so a STABLE sort on icell alone
+        # preserves the tri-minor order — numpy's stable int sort is a
+        # radix sort.
+        porder = np.argsort(pair_icell, kind="stable")
+        counts = np.bincount(pair_icell, minlength=nf * nf)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        return offsets, pair_tri[porder]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        pairs_fut = pool.submit(_pairs)
+
+        pid = cat("pid", np.int64)
+        order = np.argsort(pid, kind="stable")  # radix for ints
+        pid_sorted = pid[order]
+        pack["px"] = cat("px", np.float64)[order]
+        pack["py"] = cat("py", np.float64)[order]
+        pack["pz"] = cat("pz", np.float64)[order]
+        for t in TPU_COLS:
+            pack[f"p_{t}"] = cat(f"p_{t}", np.float64)[order]
+
+        tri_id = cat("tri_id", np.int64)
+        n_tri = len(tri_id)
+        assert n_tri < 2 or (np.diff(tri_id) > 0).all(), (
+            "tri_id not globally ascending after cell-sorted shard concat")
+        # pid -> sorted-row lookup: dense inverse table when ids are
+        # compact (O(1) gathers), searchsorted fallback for sparse ids
+        lo = int(pid_sorted[0]) if len(pid_sorted) else 0
+        hi = int(pid_sorted[-1]) if len(pid_sorted) else 0
+        dense = len(pid_sorted) > 0 and (hi - lo + 1) <= 4 * len(pid_sorted)
         if dense:
-            tv[:, k] = inv_pid[vk - lo]
-        else:
-            tv[:, k] = np.searchsorted(pid_sorted, vk).astype(np.int32)
-    pack["tv"] = tv
-    for k in range(3):
-        # direct per-column gathers: building an (m,3) temp and copying
-        # slices out doubled the traffic on this 3-6M-triangle phase
-        pack[f"x{k + 1}"] = pack["px"][tv[:, k]]
-        pack[f"y{k + 1}"] = pack["py"][tv[:, k]]
+            # int32 table: the gather then lands in tv's dtype directly
+            # (no 3 int64->int32 astype passes over 3n rows)
+            inv_pid = np.empty(hi - lo + 1, dtype=np.int32)
+            inv_pid[pid_sorted - lo] = np.arange(len(pid_sorted),
+                                                 dtype=np.int32)
+        tv = np.empty((n_tri, 3), dtype=np.int32)
+        for k in range(3):
+            vk = cat(f"v{k + 1}", np.int64)
+            if dense:
+                tv[:, k] = inv_pid[vk - lo]
+            else:
+                tv[:, k] = np.searchsorted(pid_sorted, vk).astype(np.int32)
+        pack["tv"] = tv
+        for k in range(3):
+            # direct per-column gathers: an (m,3) temp + slice copies
+            # doubled the traffic on this 3-6M-triangle phase
+            pack[f"x{k + 1}"] = pack["px"][tv[:, k]]
+            pack[f"y{k + 1}"] = pack["py"][tv[:, k]]
 
-    # pairs reference blob-local triangle rows; lift to global rows
-    # (int32 throughout: triangle counts are < 2^31 by the pack's own
-    # tri_id layout, and halving the bandwidth matters at 10^7 pairs)
-    bases = np.cumsum([0] + [len(s["tri_id"]) for s in shards[:-1]],
-                      dtype=np.int64)
-    pair_tri = np.concatenate(
-        [s["pair_tri"].astype(np.int32) + np.int32(b)
-         for s, b in zip(shards, bases)]
-    )
-    pair_icell = cat("pair_icell", np.int64)
-    # icell-major, tri-row-minor: the probe's reversed scan then picks
-    # the LOWEST tri row (= min tri_id) per doc, same as the old pack.
-    # pair_tri is globally ascending (cell-sorted shards, in-shard
-    # covering order), so a STABLE sort on icell alone preserves the
-    # tri-minor order — numpy's stable int sort is a radix sort.
-    porder = np.argsort(pair_icell, kind="stable")
-    counts = np.bincount(pair_icell, minlength=nf * nf)
-    pack["offsets"] = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-    pack["cell_tri"] = pair_tri[porder]
+        pack["offsets"], pack["cell_tri"] = pairs_fut.result()
     return pack
 
 

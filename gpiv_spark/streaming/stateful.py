@@ -92,11 +92,16 @@ def _make_session_fn(gap_ms: int):
         elif state.exists:
             state.remove()
         if emit:
-            yield pd.DataFrame(
-                [(user_id, int(c[0]), int(c[2]), float(c[3]))
-                 for c in emit],
-                columns=["user_id", "start_ms", "n_events", "total_value"],
-            )
+            # dict-of-lists construction: ~2x cheaper than row tuples
+            # for the tiny frames this yields once per key — at 1e6
+            # keys per micro-batch the per-key constant IS the
+            # operator's cost (round-6 state-scale bench)
+            yield pd.DataFrame({
+                "user_id": [user_id] * len(emit),
+                "start_ms": [int(c[0]) for c in emit],
+                "n_events": [int(c[2]) for c in emit],
+                "total_value": [float(c[3]) for c in emit],
+            })
 
     def fn(key: Any, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
@@ -110,11 +115,15 @@ def _make_session_fn(gap_ms: int):
         if state.hasTimedOut:
             yield from _flush(user_id, clusters, wm, state)
             return
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        ms = (rows["ts"].astype("int64") // 1_000_000).to_numpy()
-        vals = rows["value"].to_numpy()
-        clusters.extend([int(t), int(t), 1, float(v)]
-                        for t, v in zip(ms, vals))
+        # single-batch fast path + zero-copy int64 view of the
+        # datetime64[ns] column: pd.concat and Series.astype cost
+        # ~100 us per call, which dominates at 1e6 single-pdf keys
+        batches = list(pdfs)
+        for rows in batches:
+            ms = rows["ts"].to_numpy().view("int64") // 1_000_000
+            vals = rows["value"].to_numpy()
+            clusters.extend([int(t), int(t), 1, float(v)]
+                            for t, v in zip(ms, vals))
         clusters = _merge_clusters(clusters, gap_ms)
         yield from _flush(user_id, clusters, wm, state)
 
