@@ -46,12 +46,15 @@ TPU_COLS = ["var_x", "var_y", "var_z", "cov_xy", "cov_xz", "cov_yz"]
 # mapInPandas tasks = 2.8 s at ANY core count), so fewer, bigger tasks
 # win as long as waves stay balanced (64 = 2 waves at 32 cores).
 KERNEL_TASKS = 64
-# The PACK BUILD runs heavier, more variable tasks (per-cell Delaunay:
-# point counts vary cell to cell, and host noise stretches whole waves)
-# — finer fixed granularity beats handshake cost there. Measured at
-# 800k points, min of 3: 32 cores 13.4 s (64 tasks) -> 11.8 s (128),
-# 8 cores neutral (20.3 -> 20.4); 256 tasks regresses (handshake).
-PACK_TASKS = 128
+# The PACK BUILD's task-count tradeoff flipped in round 6: with the C
+# Delaunay core the per-cell kernel is ~20x cheaper, so per-task
+# channel/handshake overhead outweighs wave balance. Re-measured
+# (best-of-2 certified builds): 32 cores/1.6M pts 10.6 s (128 tasks)
+# -> 9.8 s (64); 8 cores/400k 5.2/4.3 -> 4.2/4.5. 32 tasks is
+# slightly faster still at 8 cores but leaves a single skew-sensitive
+# wave at 32 cores; 64 keeps two waves. (Pre-C-kernel, 128 beat 64 at
+# 32 cores — the r5 measurement in git history.)
+PACK_TASKS = 64
 
 
 def fan_out_points(spark: SparkSession, points: DataFrame, cell_res: int,
