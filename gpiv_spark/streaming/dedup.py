@@ -45,12 +45,16 @@ def _make_dedup_fn(horizon_ms: int, key_by_text: bool):
         if state.hasTimedOut:
             first_doc, _first_ms, _last_ms, n, lc = state.get
             state.remove()
-            yield pd.DataFrame(
-                [{"first_doc": first_doc, "n_docs": n, "len_chars": lc}]
-            )
+            yield pd.DataFrame({"first_doc": [first_doc], "n_docs": [n],
+                                "len_chars": [lc]})
             return
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        ms = (rows["ts"].astype("int64") // 1_000_000).to_numpy()
+        # single-batch fast path + zero-copy int64 view (cf.
+        # stateful.py): the per-key pandas constants dominate at
+        # 1e6-key micro-batches
+        batches = list(pdfs)
+        rows = (batches[0] if len(batches) == 1
+                else pd.concat(batches, ignore_index=True))
+        ms = rows["ts"].to_numpy().view("int64") // 1_000_000
         docs = rows["doc_id"].to_numpy()
         # batch winner: min (event_ms, doc_id) — arrival order within or
         # across microbatches must not matter
@@ -73,9 +77,8 @@ def _make_dedup_fn(horizon_ms: int, key_by_text: bool):
             # watermark already beyond this group's horizon: closed by
             # definition (cf. stateful.py's late-group path)
             state.remove()
-            yield pd.DataFrame(
-                [{"first_doc": first_doc, "n_docs": n, "len_chars": lc}]
-            )
+            yield pd.DataFrame({"first_doc": [first_doc], "n_docs": [n],
+                                "len_chars": [lc]})
         else:
             state.update((first_doc, first_ms, last_ms, n, lc))
             state.setTimeoutTimestamp(deadline)
