@@ -808,10 +808,16 @@ class PackFileHandle:
     """
 
     def __init__(self, spark: SparkSession, pack: dict):
+        import atexit
         import os
+        import shutil
         import tempfile
 
         self._dir = tempfile.mkdtemp(prefix="gpiv_pack_")
+        # callers that drop the handle without destroy() (bench children
+        # loop builds) must not leak ~100-340 MB dirs per build — clean
+        # at driver-interpreter exit; workers only ever read.
+        atexit.register(shutil.rmtree, self._dir, ignore_errors=True)
         meta = {}
         arrays = []
         for k, v in pack.items():
